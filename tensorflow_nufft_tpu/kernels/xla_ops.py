@@ -1,0 +1,211 @@
+"""Portable XLA implementations of the NUFFT spread/interp stages.
+
+These are the reference device path: pure jnp/lax, correct on CPU and TPU,
+differentiable, and the numerical oracle for the Pallas kernels. The hot
+loops are written as a ``lax.scan`` over kernel-offset combinations so peak
+memory is O(M * width) instead of O(M * width^rank).
+
+Reference behavior being reproduced (re-designed, not translated):
+  - fold/rescale of points into [0, fine_dim) with STRICT/EXTENDED/INFINITE
+    variants: cc/kernels/nufft_plan.h:676-734.
+  - ES kernel evaluation: cc/kernels/nufft_util.cc:64-69.
+  - spreading/interpolation with periodic index wrap:
+    cc/kernels/nufft_plan.cc:883-1806.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensorflow_nufft_tpu.plan.plan import NufftPlan
+
+# PointsRange enum values (match proto: STRICT=0, EXTENDED=1, INFINITE=2).
+STRICT = 0
+EXTENDED = 1
+INFINITE = 2
+
+_PI = np.pi
+_TWO_PI = 2.0 * np.pi
+
+
+def fold_and_rescale(points: jax.Array, fine_shape: Sequence[int],
+                     points_range: int) -> jax.Array:
+    """Maps point coordinates from radians to fine-grid units in [0, nf).
+
+    ``points`` has shape [..., rank]; coordinate d is scaled by
+    ``fine_shape[d]``. The three variants mirror the reference functors
+    (nufft_plan.h:683-734): STRICT assumes [-pi, pi] and only shifts,
+    EXTENDED folds once from [-3pi, 3pi], INFINITE folds any value.
+    """
+    n = jnp.asarray(np.array(fine_shape, dtype=np.float64),
+                    dtype=points.dtype)
+    pi = jnp.asarray(_PI, dtype=points.dtype)
+    two_pi = jnp.asarray(_TWO_PI, dtype=points.dtype)
+    x = points
+    if points_range == STRICT:
+        s = x + pi
+    elif points_range == EXTENDED:
+        s = jnp.where(x > pi, x - pi, jnp.where(x < -pi, x + 3 * pi, x + pi))
+    elif points_range == INFINITE:
+        s = jnp.mod(x + pi, two_pi)
+        s = jnp.where(s < 0, s + two_pi, s)
+    else:
+        raise ValueError(f"Invalid points_range: {points_range}")
+    return s * (n / two_pi)
+
+
+def es_kernel(z: jax.Array, beta: float, c: float,
+              half_width: float) -> jax.Array:
+    """"Exponential of semicircle" kernel phi(z) = exp(beta sqrt(1 - c z^2)).
+
+    Zero outside |z| < half_width. Uses the double-where trick so the
+    gradient is well-defined at the support boundary.
+    """
+    inside = jnp.abs(z) < half_width
+    arg = 1.0 - c * jnp.square(z)
+    arg_safe = jnp.where(inside, jnp.maximum(arg, 0.0), 1.0)
+    val = jnp.exp(beta * jnp.sqrt(arg_safe))
+    return jnp.where(inside, val, 0.0)
+
+
+def spread_geometry(points_resc: jax.Array, plan: NufftPlan
+                    ) -> Tuple[Tuple[jax.Array, ...], Tuple[jax.Array, ...]]:
+    """Per-dimension spreading indices and kernel values.
+
+    Args:
+        points_resc: [M, rank] coordinates in fine-grid units, in [0, nf).
+        plan: the static plan.
+
+    Returns:
+        (indices, kernels): per dim, ``indices[d]`` is an int32 [M, width]
+        array of periodically wrapped fine-grid indices and ``kernels[d]``
+        is the matching [M, width] array of kernel values. The leftmost
+        covered grid index is ceil(s - width/2), as in the reference
+        spreader (nufft_plan.cc:1463-1636).
+    """
+    width = plan.width
+    offsets = jnp.arange(width, dtype=points_resc.dtype)
+    indices = []
+    kernels = []
+    for d in range(plan.rank):
+        s = points_resc[:, d]
+        i0 = jnp.ceil(s - plan.half_width)
+        z = i0[:, None] + offsets[None, :] - s[:, None]      # [M, width]
+        ker = es_kernel(z, plan.beta, plan.c, plan.half_width)
+        idx = (i0.astype(jnp.int32)[:, None]
+               + offsets.astype(jnp.int32)[None, :])
+        idx = jnp.mod(idx, plan.fine_shape[d])
+        indices.append(idx)
+        kernels.append(ker)
+    return tuple(indices), tuple(kernels)
+
+
+def _flat_strides(fine_shape: Sequence[int]) -> Tuple[int, ...]:
+    strides = [1] * len(fine_shape)
+    for d in range(len(fine_shape) - 2, -1, -1):
+        strides[d] = strides[d + 1] * fine_shape[d + 1]
+    return tuple(strides)
+
+
+def spread_xla(strengths: jax.Array, indices, kernels,
+               plan: NufftPlan) -> jax.Array:
+    """Spreads NU strengths onto the fine grid (type-1 step 1).
+
+    Args:
+        strengths: [B, M] complex strengths (inner-vectorized batch).
+        indices/kernels: output of ``spread_geometry``.
+        plan: static plan.
+
+    Returns:
+        [B, *fine_shape] complex fine grid.
+
+    Scatter-add is used instead of atomics (which TPU lacks); the Pallas
+    path replaces this with tile-exclusive accumulation.
+    """
+    rank = plan.rank
+    width = plan.width
+    batch = strengths.shape[0]
+    fine_flat_size = plan.fine_size
+    strides = _flat_strides(plan.fine_shape)
+    out = jnp.zeros((batch, fine_flat_size), dtype=strengths.dtype)
+
+    if rank == 1:
+        vals = strengths[:, :, None] * kernels[0][None].astype(strengths.dtype)
+        out = out.at[:, indices[0]].add(vals)
+        return out.reshape((batch,) + plan.fine_shape)
+
+    # Scan over the leading rank-1 offset combinations; vectorize the last
+    # dim. Memory: O(B * M * width) per step.
+    num_combos = width ** (rank - 1)
+
+    def body(carry, combo):
+        if rank == 2:
+            j0 = combo
+            lead_idx = jnp.take(indices[0], j0, axis=1) * strides[0]
+            lead_ker = jnp.take(kernels[0], j0, axis=1)
+        else:
+            j0 = combo // width
+            j1 = combo % width
+            lead_idx = (jnp.take(indices[0], j0, axis=1) * strides[0]
+                        + jnp.take(indices[1], j1, axis=1) * strides[1])
+            lead_ker = (jnp.take(kernels[0], j0, axis=1)
+                        * jnp.take(kernels[1], j1, axis=1))
+        flat = lead_idx[:, None] + indices[-1]               # [M, width]
+        wts = (lead_ker[:, None] * kernels[-1]).astype(strengths.dtype)
+        vals = strengths[:, :, None] * wts[None]             # [B, M, width]
+        carry = carry.at[:, flat].add(vals)
+        return carry, None
+
+    out, _ = jax.lax.scan(body, out, jnp.arange(num_combos))
+    return out.reshape((batch,) + plan.fine_shape)
+
+
+def interp_xla(fine: jax.Array, indices, kernels,
+               plan: NufftPlan) -> jax.Array:
+    """Interpolates fine-grid values at NU points (type-2 step 3).
+
+    Args:
+        fine: [B, *fine_shape] complex fine grid.
+        indices/kernels: output of ``spread_geometry``.
+
+    Returns:
+        [B, M] complex values at the points.
+    """
+    rank = plan.rank
+    width = plan.width
+    batch = fine.shape[0]
+    num_points = indices[0].shape[0]
+    strides = _flat_strides(plan.fine_shape)
+    fine_flat = fine.reshape(batch, -1)
+
+    if rank == 1:
+        vals = fine_flat[:, indices[0]]                      # [B, M, width]
+        return jnp.sum(vals * kernels[0][None].astype(fine.dtype), axis=-1)
+
+    num_combos = width ** (rank - 1)
+    acc0 = jnp.zeros((batch, num_points), dtype=fine.dtype)
+
+    def body(carry, combo):
+        if rank == 2:
+            j0 = combo
+            lead_idx = jnp.take(indices[0], j0, axis=1) * strides[0]
+            lead_ker = jnp.take(kernels[0], j0, axis=1)
+        else:
+            j0 = combo // width
+            j1 = combo % width
+            lead_idx = (jnp.take(indices[0], j0, axis=1) * strides[0]
+                        + jnp.take(indices[1], j1, axis=1) * strides[1])
+            lead_ker = (jnp.take(kernels[0], j0, axis=1)
+                        * jnp.take(kernels[1], j1, axis=1))
+        flat = lead_idx[:, None] + indices[-1]               # [M, width]
+        wts = (lead_ker[:, None] * kernels[-1]).astype(fine.dtype)
+        vals = fine_flat[:, flat]                            # [B, M, width]
+        carry = carry + jnp.sum(vals * wts[None], axis=-1)
+        return carry, None
+
+    acc, _ = jax.lax.scan(body, acc0, jnp.arange(num_combos))
+    return acc

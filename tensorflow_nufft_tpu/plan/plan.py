@@ -1,0 +1,280 @@
+"""NUFFT plan: static, trace-time computation of all transform parameters.
+
+The reference implementation builds a C++ ``Plan`` object per op call
+(reference: cc/kernels/nufft_plan.h:223-256, nufft_plan.cc:166-265). In this
+TPU-native framework the plan is a frozen Python dataclass computed once at
+trace time and cached: every quantity here (upsampling factor, kernel width,
+beta, fine grid dims, kernel Fourier series) is a static constant under
+``jax.jit``, so XLA sees fully concrete shapes and weights.
+
+Numerical parity targets (formulas re-derived, constants matched):
+  - tolerance -> (upsampling sigma, kernel width): nufft_plan.h:739-780.
+  - "exponential of semicircle" kernel parameters beta, c:
+    nufft_plan.cc:925-940 (Barnett-Magland-af Klinteberg 2019).
+  - fine grid sizing: nufft_plan.h:803-863 (sigma*N, >=2w, 5-smooth even).
+  - kernel Fourier series by Gauss-Legendre quadrature with phase winding:
+    nufft_util.cc:71-117.
+  - spread/interp-only normalization: nufft_util.cc:43-62.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+
+# Parity constants (reference: cc/kernels/nufft_plan.h:62-68, :84-89).
+MAX_ARRAY_SIZE = 2_000_000_000
+MAX_QUAD_NODES = 100
+MAX_KERNEL_WIDTH = 16
+
+# Smallest meaningful tolerance per precision; requested tolerances are
+# clamped from below (reference: nufft_plan.h:87-89, nufft_plan.cc:189).
+EPSILON = {
+    np.dtype(np.float32): 6e-08,
+    np.dtype(np.float64): 1.1e-16,
+}
+
+
+def select_upsampling_factor(
+    tol: float,
+    rank: int,
+    grid_size: int,
+    user_value: Optional[float] = None,
+) -> float:
+    """Chooses the fine-grid oversampling factor sigma.
+
+    Default is 2.0; large low-precision problems use 1.25 to save memory
+    and FFT time (reference: nufft_plan.h:739-760).
+    """
+    if user_value is not None and user_value != 0.0:
+        if user_value <= 1.0:
+            raise ValueError(
+                f"upsampling_factor must be > 1.0, but got: {user_value}")
+        return float(user_value)
+    sigma = 2.0
+    if tol >= 1e-9:
+        if ((rank == 1 and grid_size > 10_000_000)
+                or (rank == 2 and grid_size > 300_000)
+                or (rank == 3 and grid_size > 3_000_000)):
+            sigma = 1.25
+    return sigma
+
+
+def select_kernel_width(tol: float, sigma: float) -> int:
+    """Kernel width (number of grid points the kernel spans) from tolerance.
+
+    sigma == 2.0 uses the empirical one-digit-per-point rule; other sigmas
+    use the ES-kernel aliasing estimate (reference: nufft_plan.h:762-777).
+    """
+    if sigma == 2.0:
+        width = math.ceil(-math.log10(tol / 10.0))
+    else:
+        width = math.ceil(
+            -math.log(tol) / (math.pi * math.sqrt(1.0 - 1.0 / sigma)))
+    return int(min(max(width, 2), MAX_KERNEL_WIDTH))
+
+
+def kernel_beta(width: int, sigma: float) -> float:
+    """ES kernel shape parameter beta for a given width and sigma.
+
+    beta = beta_over_width * width, with small-width tweaks for sigma=2 and
+    the gamma=0.97 cutoff formula otherwise (reference: nufft_plan.cc:925-940).
+    """
+    beta_over_width = {2: 2.20, 3: 2.26, 4: 2.38}.get(width, 2.30)
+    if sigma != 2.0:
+        gamma = 0.97
+        beta_over_width = gamma * math.pi * (1.0 - 1.0 / (2.0 * sigma))
+    return beta_over_width * width
+
+
+def es_kernel_np(z: np.ndarray, beta: float, c: float,
+                 half_width: float) -> np.ndarray:
+    """Reference "exponential of semicircle" kernel, evaluated in float64.
+
+    phi(z) = exp(beta * sqrt(1 - c z^2)) on |z| < width/2, else 0
+    (reference: nufft_util.cc:64-69). Used at trace time only; the device
+    path has its own jnp/Pallas evaluators.
+    """
+    z = np.asarray(z, dtype=np.float64)
+    inside = np.abs(z) < half_width
+    arg = np.maximum(1.0 - c * z * z, 0.0)
+    return np.where(inside, np.exp(beta * np.sqrt(arg)), 0.0)
+
+
+def kernel_fseries_1d(fine_dim: int, width: int, beta: float) -> np.ndarray:
+    """Fourier series coefficients of the ES kernel along one dimension.
+
+    Computes ``fine_dim//2 + 1`` coefficients via Gauss-Legendre quadrature
+    over half the kernel support with phase winding; the (-1)^j factor
+    accounts for the +pi shift used when folding points into [0, fine_dim)
+    (reference: nufft_util.cc:71-117). Trace-time, float64, vectorized.
+    """
+    half_width = width / 2.0
+    c = 4.0 / (width * width)
+    q = int(2 + 3.0 * half_width)  # quadrature nodes on (0, half_width)
+    if 2 * q > 2 * MAX_QUAD_NODES:
+        raise ValueError(f"too many quadrature nodes: {q}")
+    # Symmetric 2q-point rule on (-1, 1); keep the positive half.
+    nodes, weights = np.polynomial.legendre.leggauss(2 * q)
+    z = nodes[q:] * half_width
+    f = half_width * weights[q:] * es_kernel_np(z, beta, c, half_width)
+    j = np.arange(fine_dim // 2 + 1, dtype=np.float64)
+    # fseries[j] = (-1)^j * 2 * sum_n f_n cos(2 pi j z_n / fine_dim)
+    phases = np.cos((2.0 * np.pi / fine_dim) * np.outer(j, z))
+    signs = np.where(np.arange(fine_dim // 2 + 1) % 2 == 0, 1.0, -1.0)
+    return signs * (2.0 * (phases @ f))
+
+
+def calculate_scale_factor(rank: int, width: int, beta: float) -> float:
+    """Normalization for standalone spread/interp so they are unit-scaled.
+
+    Matches the reference's n=100 midpoint-style Riemann sum of the kernel
+    integral exactly, including its quirks, because the factor is observable
+    in op outputs (reference: nufft_util.cc:43-62).
+    """
+    n = 100
+    h = 2.0 / n
+    x = -1.0 + h * np.arange(1, n, dtype=np.float64)
+    total = float(np.sum(np.exp(beta * np.sqrt(np.maximum(1.0 - x * x, 0.0)))))
+    total += 1.0
+    total *= h
+    total *= math.sqrt(1.0 / (4.0 / (width * width)))  # * width / 2
+    return 1.0 / total ** rank
+
+
+@dataclasses.dataclass(frozen=True)
+class PlanSpec:
+    """Hashable static key describing a transform; the argument to
+    ``make_plan`` and the ``nondiff`` static argument of the core op."""
+    transform_type: str            # 'type_1' | 'type_2'
+    fft_direction: str             # 'forward' | 'backward'
+    rank: int
+    grid_shape: Tuple[int, ...]    # mode dims (type-1 output / type-2 input)
+    dtype_name: str                # 'complex64' | 'complex128'
+    tol: float
+    points_range: int              # 0 strict / 1 extended / 2 infinite
+    spread_only: bool = False
+    upsampling_factor: Optional[float] = None
+    backend: str = "auto"          # 'auto' | 'xla' | 'pallas'
+
+
+@dataclasses.dataclass(frozen=True)
+class NufftPlan:
+    """All static parameters of one NUFFT configuration."""
+    spec: PlanSpec
+    sigma: float
+    width: int
+    beta: float
+    c: float                        # ES kernel c = 4 / width^2
+    half_width: float
+    fine_shape: Tuple[int, ...]
+    fseries: Tuple[np.ndarray, ...]   # per-dim, float64, len nf//2+1
+    kernel_scale: float               # spread/interp-only normalization
+    tol: float                        # clamped tolerance
+
+    @property
+    def rank(self) -> int:
+        return self.spec.rank
+
+    @property
+    def grid_shape(self) -> Tuple[int, ...]:
+        return self.spec.grid_shape
+
+    @property
+    def dir_sign(self) -> int:
+        """Sign of i in exp(sign * i k.x): forward=-1, backward=+1."""
+        return -1 if self.spec.fft_direction == "forward" else 1
+
+    @property
+    def fine_size(self) -> int:
+        return int(np.prod(self.fine_shape))
+
+    def deconv_weights(self, dim: int) -> np.ndarray:
+        """1 / fseries factors in CMCL mode order for grid axis `dim`.
+
+        Array index i in [0, N) corresponds to mode k = i - N//2; the
+        weight is 1 / fseries[|k|] (reference: nufft_plan.cc:729-780).
+        """
+        n = self.grid_shape[dim]
+        k = np.arange(n) - n // 2
+        return 1.0 / self.fseries[dim][np.abs(k)]
+
+
+@functools.lru_cache(maxsize=512)
+def make_plan(spec: PlanSpec) -> NufftPlan:
+    """Builds (and caches) the static plan for a transform spec."""
+    rank = spec.rank
+    if rank not in (1, 2, 3):
+        raise ValueError(f"rank must be 1, 2 or 3, got {rank}")
+    if len(spec.grid_shape) != rank:
+        raise ValueError(
+            f"grid_shape must have rank {rank}, got {spec.grid_shape}")
+    if spec.transform_type not in ("type_1", "type_2"):
+        raise ValueError(
+            f"transform_type must be 'type_1' or 'type_2', got "
+            f"{spec.transform_type!r}")
+    if spec.fft_direction not in ("forward", "backward"):
+        raise ValueError(
+            f"fft_direction must be 'forward' or 'backward', got "
+            f"{spec.fft_direction!r}")
+
+    real_dt = np.dtype(np.float32) if spec.dtype_name == "complex64" \
+        else np.dtype(np.float64)
+    tol = max(float(spec.tol), EPSILON[real_dt])
+
+    grid_size = int(np.prod(spec.grid_shape))
+    if spec.spread_only:
+        # Standalone spread/interp: no oversampling; sigma fixed at 2.0 for
+        # kernel-width selection (reference: nufft_kernels.cc:457-460).
+        sigma = 2.0
+    else:
+        sigma = select_upsampling_factor(
+            tol, rank, grid_size, spec.upsampling_factor)
+    width = select_kernel_width(tol, sigma)
+    beta = kernel_beta(width, sigma)
+    c = 4.0 / (width * width)
+
+    from tensorflow_nufft_tpu.utils.smooth import next_smooth_integer
+    fine_shape = []
+    for d in range(rank):
+        n = spec.grid_shape[d]
+        if spec.spread_only:
+            fine = n
+        else:
+            fine = int(n * sigma)
+        fine = max(fine, 2 * width)
+        fine = next_smooth_integer(fine)
+        if spec.spread_only and fine != n:
+            raise ValueError(
+                f"Invalid grid dimension size: {n}. Grid dimension must be "
+                f"even, larger than the kernel ({2 * width}) and have no "
+                f"prime factors larger than 5.")
+        fine_shape.append(fine)
+    fine_shape = tuple(fine_shape)
+
+    if int(np.prod(fine_shape)) > MAX_ARRAY_SIZE:
+        raise ValueError(
+            f"Fine grid is too big: size {int(np.prod(fine_shape))} > "
+            f"{MAX_ARRAY_SIZE}")
+
+    fseries = tuple(
+        kernel_fseries_1d(fine_shape[d], width, beta) for d in range(rank))
+    kernel_scale = calculate_scale_factor(rank, width, beta) \
+        if spec.spread_only else 1.0
+
+    return NufftPlan(
+        spec=spec,
+        sigma=sigma,
+        width=width,
+        beta=beta,
+        c=c,
+        half_width=width / 2.0,
+        fine_shape=fine_shape,
+        fseries=fseries,
+        kernel_scale=kernel_scale,
+        tol=tol,
+    )
