@@ -32,6 +32,76 @@ def _twiddles(n: int) -> tuple:
     return np.cos(ang), np.sin(ang)
 
 
+def _mode_twiddles(nf: int, n: int, sign: float, weights: np.ndarray,
+                   truncating: bool) -> tuple:
+    """Pruned, weighted DFT matrices fusing the deconvolve/amplify stage.
+
+    Mode i (CMCL order, k = i - n//2) lives at fine-grid slot k mod nf.
+    For the type-1 direction (truncating=True) returns (C, S) of shape
+    [nf, n] with C[l, i] = w[i] cos(2 pi l slot_i / nf) and
+    S[l, i] = sign * w[i] sin(...); for type-2 (truncating=False) the
+    transposed [n, nf] layout. Contracting with these computes
+    DFT + mode truncation/zero-padding + kernel deconvolution in one
+    matmul (the reference does these as separate passes,
+    cc/kernels/nufft_plan.cc:705-881).
+    """
+    k = np.arange(n) - n // 2
+    slots = np.mod(k, nf)
+    ang = (2.0 * np.pi / nf) * np.outer(np.arange(nf), slots)  # [nf, n]
+    c = np.cos(ang) * weights[None, :]
+    s = sign * np.sin(ang) * weights[None, :]
+    if truncating:
+        return c, s
+    return c.T.copy(), s.T.copy()
+
+
+def _contract_planar(xr, xi, c, s, axis, precision):
+    """(xr + i xi) contracted along `axis` with (c + i s); returns planar
+    pair with the transformed axis restored in place."""
+    ar = jnp.tensordot(xr, c, axes=[[axis], [0]], precision=precision)
+    br = jnp.tensordot(xr, s, axes=[[axis], [0]], precision=precision)
+    ai = jnp.tensordot(xi, c, axes=[[axis], [0]], precision=precision)
+    bi = jnp.tensordot(xi, s, axes=[[axis], [0]], precision=precision)
+    yr = jnp.moveaxis(ar - bi, -1, axis)
+    yi = jnp.moveaxis(ai + br, -1, axis)
+    return yr, yi
+
+
+def dft_truncate_deconvolve(x: jax.Array, plan,
+                            precision=jax.lax.Precision.HIGHEST
+                            ) -> jax.Array:
+    """Type-1 post-stage: [B, *fine, 2] -> [B, *grid, 2] modes (CMCL),
+    computing DFT + truncation + deconvolution as one pruned matmul per
+    axis."""
+    sign = -1.0 if plan.spec.fft_direction == "forward" else 1.0
+    xr, xi = x[..., 0], x[..., 1]
+    for d in range(plan.rank):
+        c_np, s_np = _mode_twiddles(
+            plan.fine_shape[d], plan.grid_shape[d], sign,
+            plan.deconv_weights(d), truncating=True)
+        c = jnp.asarray(c_np, x.dtype)
+        s = jnp.asarray(s_np, x.dtype)
+        xr, xi = _contract_planar(xr, xi, c, s, 1 + d, precision)
+    return jnp.stack([xr, xi], axis=-1)
+
+
+def amplify_pad_dft(x: jax.Array, plan,
+                    precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+    """Type-2 pre-stage: [B, *grid, 2] modes (CMCL) -> [B, *fine, 2]
+    fine-grid values, computing amplification + zero-padding + DFT as one
+    pruned matmul per axis."""
+    sign = -1.0 if plan.spec.fft_direction == "forward" else 1.0
+    xr, xi = x[..., 0], x[..., 1]
+    for d in range(plan.rank):
+        c_np, s_np = _mode_twiddles(
+            plan.fine_shape[d], plan.grid_shape[d], sign,
+            plan.deconv_weights(d), truncating=False)
+        c = jnp.asarray(c_np, x.dtype)
+        s = jnp.asarray(s_np, x.dtype)
+        xr, xi = _contract_planar(xr, xi, c, s, 1 + d, precision)
+    return jnp.stack([xr, xi], axis=-1)
+
+
 def dft_planar(x: jax.Array, rank: int, fft_direction: str,
                precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     """DFT over the ``rank`` spatial axes of a planar tensor.

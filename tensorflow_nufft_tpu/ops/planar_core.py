@@ -23,8 +23,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tensorflow_nufft_tpu.fft.fft_ops import amplify, deconvolve
-from tensorflow_nufft_tpu.fft.planar_fft import dft_planar
+from tensorflow_nufft_tpu.fft.planar_fft import (
+    amplify_pad_dft,
+    dft_truncate_deconvolve,
+)
 from tensorflow_nufft_tpu.kernels import dispatch
 from tensorflow_nufft_tpu.kernels.xla_ops import fold_and_rescale
 from tensorflow_nufft_tpu.ops.core import _mode_grid, _replace
@@ -56,17 +58,15 @@ def _execute_planar(source: jax.Array, points: jax.Array,
         if spec.spread_only:
             scale = jnp.asarray(plan.kernel_scale, fine.dtype)
             return _unfold(fine * scale, batch)
-        fine_hat = dft_planar(_unfold(fine, batch), plan.rank,
-                              spec.fft_direction)
-        modes = deconvolve(_fold(fine_hat), plan)
-        return _unfold(modes, batch)
+        # DFT + mode truncation + deconvolution in one fused contraction.
+        return dft_truncate_deconvolve(_unfold(fine, batch), plan)
     # type_2
     if spec.spread_only:
         values = dispatch.interp(_fold(source), points_resc, plan)
         scale = jnp.asarray(plan.kernel_scale, values.dtype)
         return _unfold(values * scale, batch)
-    fine = amplify(_fold(source), plan)
-    grid = dft_planar(_unfold(fine, batch), plan.rank, spec.fft_direction)
+    # Amplification + zero-padding + DFT in one fused contraction.
+    grid = amplify_pad_dft(source, plan)
     values = dispatch.interp(_fold(grid), points_resc, plan)
     return _unfold(values, batch)
 

@@ -1,0 +1,94 @@
+"""MRI model family: trajectories, SENSE operator, CG-SENSE recon."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensorflow_nufft_tpu.models import mri
+from tensorflow_nufft_tpu.planar import from_planar
+
+
+def test_radial_trajectory_range():
+    pts = mri.radial_trajectory(8, 32)
+    assert pts.shape == (256, 2)
+    assert np.all(np.abs(pts) <= np.pi)
+    radii = np.hypot(pts[:, 0], pts[:, 1])
+    assert radii.max() == pytest.approx(np.pi, rel=1e-5)
+
+
+def test_planar_helpers():
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((5, 2)).astype(np.float32)
+    b = rng.standard_normal((5, 2)).astype(np.float32)
+    ac = a[:, 0] + 1j * a[:, 1]
+    bc = b[:, 0] + 1j * b[:, 1]
+    np.testing.assert_allclose(from_planar(mri.pmul(a, b)), ac * bc,
+                               rtol=1e-6)
+    np.testing.assert_allclose(from_planar(mri.pconj(a)), np.conj(ac),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(mri.pabs2(a)), np.abs(ac) ** 2,
+                               rtol=1e-6)
+
+
+def test_birdcage_maps_sos():
+    maps = mri.birdcage_maps(8, (32, 32))
+    sos = np.sum(maps[..., 0] ** 2 + maps[..., 1] ** 2, axis=0)
+    # Center of the FOV should be well covered.
+    assert abs(sos[16, 16] - 1.0) < 0.05
+
+
+def test_sense_adjointness():
+    """<A x, y> == <x, A^H y> (without density compensation)."""
+    rng = np.random.default_rng(1)
+    grid = (32, 32)
+    coils = 4
+    pts = mri.radial_trajectory(12, 32)
+    maps = mri.birdcage_maps(coils, grid)
+    op = mri.SenseNufft(pts, maps, grid)
+    x = rng.standard_normal(grid + (2,)).astype(np.float32)
+    y = rng.standard_normal((coils, pts.shape[0], 2)).astype(np.float32)
+    ax = op.forward(jnp.asarray(x))
+    ahy = op.adjoint(jnp.asarray(y))
+    lhs = complex(np.vdot(from_planar(np.asarray(ax)),
+                          from_planar(y)))
+    rhs = complex(np.vdot(from_planar(np.asarray(x)),
+                          from_planar(np.asarray(ahy))))
+    # forward uses exp(-i), adjoint backward uses exp(+i): true adjoint
+    # pair, so the complex inner products agree.
+    assert lhs == pytest.approx(rhs, rel=2e-3)
+
+
+def test_cg_sense_reconstructs_phantom():
+    """End-to-end: simulate radial multicoil data, reconstruct, compare."""
+    grid = (32, 32)
+    coils = 4
+    spokes, samples = 48, 64     # well-oversampled for a 32x32 grid
+    pts = mri.radial_trajectory(spokes, samples)
+    maps = mri.birdcage_maps(coils, grid)
+    phantom = mri.shepp_logan(grid)
+    density = mri.radial_density(spokes, samples)
+    op = mri.SenseNufft(pts, maps, grid, density=jnp.asarray(density))
+    kspace = op.forward(jnp.asarray(phantom))
+    recon = cg = mri.cg_sense(kspace, op, num_iters=15)
+    err = (np.linalg.norm(np.asarray(recon) - phantom)
+           / np.linalg.norm(phantom))
+    assert err < 0.15, f"CG-SENSE relative error too high: {err:.3f}"
+
+
+def test_cg_sense_jit_and_grad():
+    grid = (16, 16)
+    pts = mri.radial_trajectory(24, 32)
+    maps = mri.birdcage_maps(2, grid)
+    op = mri.SenseNufft(pts, maps, grid)
+    phantom = jnp.asarray(mri.shepp_logan(grid))
+    kspace = op.forward(phantom)
+
+    @jax.jit
+    def recon_loss(ksp):
+        rec = mri.cg_sense(ksp, op, num_iters=5)
+        return jnp.sum((rec - phantom) ** 2)
+
+    loss, grad = jax.value_and_grad(recon_loss)(kspace)
+    assert np.isfinite(float(loss))
+    assert np.all(np.isfinite(np.asarray(grad)))
