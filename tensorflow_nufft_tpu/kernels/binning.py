@@ -1,23 +1,29 @@
 """Tile binning for the Pallas spread/interp kernels (XLA preprocessing).
 
 TPU has no scatter atomics, so the Pallas kernels use *tile-exclusive*
-accumulation: points are sorted by fine-grid tile, the kernel visits tiles
-sequentially (TPU Pallas grids are sequential), and each tile's extended
-(halo-padded) block is owned by exactly one run of programs. Halos are
-then combined by a deterministic XLA overlap-add with periodic wrap.
+accumulation: points are assigned to fine-grid tiles, the kernel visits
+tiles sequentially (TPU Pallas grids are sequential), and each tile's
+extended (halo-padded) block is owned by exactly one run of programs.
+Halos are then combined by a deterministic XLA overlap-add with periodic
+wrap.
 
 This replaces the reference's counting sorts + subproblem decomposition
 (cc/kernels/nufft_plan.cc:432-652, nufft_plan.cu.cc:159-320,2896-3032)
-with a design that is overflow-free under static shapes: the sorted point
-stream is padded at tile boundaries up to a multiple of the chunk size,
-giving at most ``M // chunk + num_tiles`` chunks — a static bound that
-holds for any point distribution.
+with a design that is overflow-free under static shapes: the point
+stream, grouped by tile, is padded at tile boundaries up to a multiple of
+the chunk size, giving at most ``M // chunk + num_tiles`` chunks — a
+static bound that holds for any point distribution. No comparison sort is
+used (tile ranks come from a one-hot prefix sum), and data movement is
+expressed as gathers (TPU gathers are far cheaper than scatters; a single
+small int32 scatter builds the inverse map).
+
+Supports ranks 1, 2 and 3.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,111 +33,151 @@ import numpy as np
 # weights evaluate to exactly zero.
 SENTINEL = -1.0e6
 
+# Rough VMEM budget for one extended tile block (elements, per channel
+# pair): keeps ext blocks ~<=1 MB f32.
+_EXT_BLOCK_BUDGET = 160 * 160
+
 
 @dataclasses.dataclass(frozen=True)
 class TileGeometry:
-    """Static 2D tiling parameters."""
-    fine_shape: Tuple[int, int]
-    tile: Tuple[int, int]          # core tile dims (divide fine dims)
+    """Static tiling parameters (any rank)."""
+    fine_shape: Tuple[int, ...]
+    tile: Tuple[int, ...]          # core tile dims (divide fine dims)
     pad: int                       # halo on each side
     chunk: int                     # points per kernel invocation
     num_chunks: int                # static chunk-count bound
 
     @property
-    def tiles(self) -> Tuple[int, int]:
-        return (self.fine_shape[0] // self.tile[0],
-                self.fine_shape[1] // self.tile[1])
+    def rank(self) -> int:
+        return len(self.fine_shape)
+
+    @property
+    def tiles(self) -> Tuple[int, ...]:
+        return tuple(nf // t for nf, t in zip(self.fine_shape, self.tile))
 
     @property
     def num_tiles(self) -> int:
-        t = self.tiles
-        return t[0] * t[1]
+        return int(np.prod(self.tiles))
 
     @property
-    def ext(self) -> Tuple[int, int]:
+    def ext(self) -> Tuple[int, ...]:
         """Extended (halo-padded) tile dims."""
-        return (self.tile[0] + 2 * self.pad, self.tile[1] + 2 * self.pad)
+        return tuple(t + 2 * self.pad for t in self.tile)
 
 
-def choose_geometry(fine_shape, width: int, num_points: int,
-                    chunk: int = 0, tile_pref: int = 0) -> TileGeometry:
+_TILE_PREFS = {
+    1: (1024, 768, 512, 1280, 256, 1536, 2048, 128, 64, 32, 16),
+    2: (128, 160, 96, 192, 256, 64, 320, 32, 16),
+    3: (32, 40, 48, 64, 24, 16, 80, 96, 128, 8, 10, 12),
+}
+# Leading (sublane-ish) axis of 3D tiles can be small.
+_TILE_PREFS_3D_LEAD = (8, 16, 10, 12, 4, 24, 32, 6, 40, 64, 2)
+
+
+# Process-wide tuning overrides (benchmarking/experiments). Keys:
+# 'chunk', 'tile_pref'. Values of 0 mean auto.
+_GEOMETRY_OVERRIDES = {"chunk": 0, "tile_pref": 0}
+
+
+def set_geometry_overrides(chunk: int = 0, tile_pref: int = 0) -> None:
+    """Overrides automatic chunk/tile selection (0 = auto). Affects
+    subsequent traces only."""
+    _GEOMETRY_OVERRIDES["chunk"] = chunk
+    _GEOMETRY_OVERRIDES["tile_pref"] = tile_pref
+
+
+def choose_geometry(fine_shape: Sequence[int], width: int,
+                    num_points: int, chunk: int = 0,
+                    tile_pref: int = 0) -> TileGeometry:
     """Picks tile dims that divide the fine grid and a chunk size.
 
     The halo must cover the kernel footprint: a point owned by a tile can
-    touch indices down to ceil(s - w/2) >= tile_start - (w//2 + 1).
+    touch indices down to ceil(s - w/2) >= tile_start - (w//2 + 1), so
+    pad = width//2 + 1; bands in the overlap-add need tile >= 2*pad.
 
     Chunk-size tradeoff (measured on v5e): each kernel program has a few
     microseconds of fixed overhead, so chunks should be large; but the
     per-tile padding waste is bounded by num_tiles * chunk points, so
     chunks should stay a fraction of num_points / num_tiles.
     """
+    fine_shape = tuple(int(n) for n in fine_shape)
+    chunk = chunk or _GEOMETRY_OVERRIDES["chunk"]
+    tile_pref = tile_pref or _GEOMETRY_OVERRIDES["tile_pref"]
+    rank = len(fine_shape)
     pad = width // 2 + 1
-    tiles = []
-    prefs = (tile_pref,) if tile_pref else ()
-    for nf in fine_shape:
+    tile = []
+    for d, nf in enumerate(fine_shape):
+        if rank == 3 and d == 0:
+            prefs = _TILE_PREFS_3D_LEAD
+        else:
+            prefs = _TILE_PREFS[rank]
+        prefs = ((tile_pref,) if tile_pref else ()) + prefs
         t = nf
-        for cand in prefs + (128, 160, 96, 192, 256, 64, 320, 32, 16):
+        for cand in prefs:
             if cand and nf % cand == 0 and cand >= 2 * pad:
                 t = cand
                 break
-        tiles.append(t)
-    tile = tuple(tiles)
-    num_tiles = (fine_shape[0] // tile[0]) * (fine_shape[1] // tile[1])
+        tile.append(t)
+    tile = tuple(tile)
+    num_tiles = int(np.prod([nf // t for nf, t in zip(fine_shape, tile)]))
     if chunk == 0:
         # Aim for ~25% padding waste worst-case, in [256, 2048].
         target = max(num_points // (4 * num_tiles), 1)
         chunk = int(min(2048, max(256, 2 ** int(np.ceil(np.log2(target))))))
+    # Keep the per-chunk kernel matrices within a VMEM budget (~2 MB):
+    # they have chunk * sum(ext) float32 elements.
+    sum_ext = sum(t + 2 * pad for t in tile)
+    vmem_cap = max(256, ((2 << 20) // (4 * sum_ext)) // 256 * 256)
+    chunk = min(chunk, vmem_cap)
     chunk = min(chunk, max(64, int(np.ceil(num_points / 64)) * 64))
     num_chunks = num_points // chunk + num_tiles
-    return TileGeometry(tuple(fine_shape), tile, pad, chunk, num_chunks)
+    return TileGeometry(fine_shape, tile, pad, chunk, num_chunks)
 
 
 class BinnedPoints(NamedTuple):
-    """Tile-ordered, chunk-padded point metadata (a pytree).
-
-    No comparison sort is used: each point's rank within its tile comes
-    from a one-hot cumulative sum, and data movement into tile order is
-    expressed as gathers via the inverse map ``inv`` (TPU gathers are far
-    cheaper than scatters; only one small int32 scatter builds ``inv``).
-    """
-    coords: jax.Array       # [num_chunks * chunk, 2] fine-grid units
+    """Tile-ordered, chunk-padded point metadata (a pytree)."""
+    coords: jax.Array       # [rank, num_chunks * chunk] fine-grid units
     inv: jax.Array          # [num_chunks * chunk] original index (M=pad)
     padpos: jax.Array       # [M] slot of each point in the padded stream
-    chunk_ty: jax.Array     # [num_chunks] tile row of each chunk
-    chunk_tx: jax.Array     # [num_chunks] tile col of each chunk
+    chunk_tidx: Tuple[jax.Array, ...]  # per-axis tile index per chunk
     chunk_first: jax.Array  # [num_chunks] 1 if first chunk of its tile
 
 
-def bin_points_2d(points_resc: jax.Array, geom: TileGeometry
-                  ) -> BinnedPoints:
-    """Sorts points by tile and builds the padded chunk stream.
+def bin_points(points_resc: jax.Array, geom: TileGeometry
+               ) -> BinnedPoints:
+    """Groups points by tile and builds the padded chunk stream.
 
     Args:
-        points_resc: [M, 2] coordinates in fine-grid units ([0, nf)).
+        points_resc: [M, rank] coordinates in fine-grid units ([0, nf)).
         geom: static tiling.
 
     Returns:
         BinnedPoints with static shapes independent of the distribution.
     """
     m = points_resc.shape[0]
-    nty, ntx = geom.tiles
+    rank = geom.rank
+    tiles = geom.tiles
     num_tiles = geom.num_tiles
     chunk = geom.chunk
     num_chunks = geom.num_chunks
 
-    ty = jnp.clip((points_resc[:, 0] // geom.tile[0]).astype(jnp.int32),
-                  0, nty - 1)
-    tx = jnp.clip((points_resc[:, 1] // geom.tile[1]).astype(jnp.int32),
-                  0, ntx - 1)
-    tid = ty * ntx + tx
+    tidx = []
+    for d in range(rank):
+        td = jnp.clip(
+            (points_resc[:, d] // geom.tile[d]).astype(jnp.int32),
+            0, tiles[d] - 1)
+        tidx.append(td)
+    tid = tidx[0]
+    for d in range(1, rank):
+        tid = tid * tiles[d] + tidx[d]
 
     # Rank of each point within its tile via one-hot prefix sum (no
-    # comparison sort). associative_scan gives the log-depth lowering.
+    # comparison sort); associative_scan gives the log-depth lowering.
     onehot = (tid[:, None] ==
               jnp.arange(num_tiles, dtype=jnp.int32)[None, :]
               ).astype(jnp.int32)
     cum = jax.lax.associative_scan(jnp.add, onehot, axis=0)  # inclusive
-    rank = jnp.take_along_axis(cum, tid[:, None], axis=1)[:, 0] - 1
+    rank_in_tile = jnp.take_along_axis(cum, tid[:, None], axis=1)[:, 0] - 1
     counts = cum[-1]
 
     # Every tile gets at least one chunk (so its output block is zeroed).
@@ -139,16 +185,16 @@ def bin_points_2d(points_resc: jax.Array, geom: TileGeometry
     chunk_starts = jnp.concatenate(
         [jnp.zeros((1,), rounds.dtype), jnp.cumsum(rounds)[:-1]])
 
-    padpos = chunk_starts[tid].astype(jnp.int32) * chunk + rank
+    padpos = chunk_starts[tid].astype(jnp.int32) * chunk + rank_in_tile
 
-    # Inverse map: padded slot -> original point index (m = padded slot).
+    # Inverse map: padded slot -> original point index (m = pad slot).
     inv = jnp.full((num_chunks * chunk,), m, dtype=jnp.int32)
     inv = inv.at[padpos].set(jnp.arange(m, dtype=jnp.int32))
 
     coords_ext = jnp.concatenate(
-        [points_resc,
-         jnp.full((1, 2), SENTINEL, points_resc.dtype)], axis=0)
-    coords = coords_ext[inv]                             # gather
+        [points_resc.T,
+         jnp.full((rank, 1), SENTINEL, points_resc.dtype)], axis=1)
+    coords = coords_ext[:, inv]                          # gather
 
     # Chunk -> tile mapping; chunks beyond the used range attach to the
     # last used tile (contiguous run, so no spurious re-initialization).
@@ -159,12 +205,19 @@ def bin_points_2d(points_resc: jax.Array, geom: TileGeometry
     chunk_first = jnp.concatenate([
         jnp.ones((1,), jnp.int32),
         (chunk_tile[1:] != chunk_tile[:-1]).astype(jnp.int32)])
+
+    chunk_tidx = []
+    rem = chunk_tile
+    for d in range(rank - 1, -1, -1):
+        chunk_tidx.append((rem % tiles[d]).astype(jnp.int32))
+        rem = rem // tiles[d]
+    chunk_tidx = tuple(reversed(chunk_tidx))
+
     return BinnedPoints(
         coords=coords,
         inv=inv,
         padpos=padpos,
-        chunk_ty=(chunk_tile // ntx).astype(jnp.int32),
-        chunk_tx=(chunk_tile % ntx).astype(jnp.int32),
+        chunk_tidx=chunk_tidx,
         chunk_first=chunk_first,
     )
 
@@ -186,67 +239,71 @@ def scatter_chunked(values: jax.Array, binned: BinnedPoints
     return values[..., binned.padpos]
 
 
-def overlap_add_2d(tiles: jax.Array, geom: TileGeometry) -> jax.Array:
+def _collapse_axis(x: jax.Array, tile_ax: int, ext_ax: int, t: int,
+                   pad: int) -> jax.Array:
+    """Folds one extended axis: core band plus periodically-wrapped halo
+    contributions from neighbor tiles (roll over the tile axis)."""
+    x = jnp.moveaxis(x, (tile_ax, ext_ax), (0, 1))       # [nt, E, ...]
+    left = jnp.roll(x[:, :pad], -1, axis=0)
+    right = jnp.roll(x[:, t + pad:], 1, axis=0)
+    core = jnp.concatenate([
+        x[:, pad:2 * pad] + right,
+        x[:, 2 * pad:t],
+        x[:, t:t + pad] + left,
+    ], axis=1)                                           # [nt, t, ...]
+    return jnp.moveaxis(core, (0, 1), (tile_ax, ext_ax))
+
+
+def overlap_add(tiles: jax.Array, geom: TileGeometry) -> jax.Array:
     """Combines per-tile extended blocks into the full fine grid.
 
     Args:
-        tiles: [nty, ntx, B, Ey, Ex] per-tile extended outputs.
+        tiles: [*tiles, B, *ext] per-tile extended outputs.
 
     Returns:
-        [B, nf1, nf2] with halos wrapped periodically (the role of the
+        [B, *fine_shape] with halos wrapped periodically (the role of the
         reference's add_wrapped_subgrid, nufft_plan.cc:1638-1734 — but
         deterministic slicing/rolls instead of atomics).
     """
-    nty, ntx = geom.tiles
-    t0, t1 = geom.tile
-    pad = geom.pad
-    # Collapse x: core + left halo into previous tile's tail + right halo
-    # into next tile's head (roll over the tile axis = periodic wrap).
-    # Concatenation of adjusted bands (not .at[].add) so XLA fuses it.
-    left = jnp.roll(tiles[..., :pad], -1, axis=1)
-    right = jnp.roll(tiles[..., t1 + pad:], 1, axis=1)
-    core = jnp.concatenate([
-        tiles[..., pad:2 * pad] + right,
-        tiles[..., 2 * pad:t1],
-        tiles[..., t1:t1 + pad] + left,
-    ], axis=-1)
-    # Collapse y likewise.
-    top = jnp.roll(core[..., :pad, :], -1, axis=0)
-    bot = jnp.roll(core[..., t0 + pad:, :], 1, axis=0)
-    mid = jnp.concatenate([
-        core[..., pad:2 * pad, :] + bot,
-        core[..., 2 * pad:t0, :],
-        core[..., t0:t0 + pad, :] + top,
-    ], axis=-2)
-    # [nty, ntx, B, t0, t1] -> [B, nf1, nf2]
-    out = jnp.moveaxis(mid, 2, 0)            # [B, nty, ntx, t0, t1]
-    out = jnp.swapaxes(out, 2, 3)            # [B, nty, t0, ntx, t1]
-    return out.reshape(out.shape[0], nty * t0, ntx * t1)
+    rank = geom.rank
+    x = tiles
+    for d in range(rank):
+        x = _collapse_axis(x, d, rank + 1 + d, geom.tile[d], geom.pad)
+    # [nt_0.., B, t_0..] -> [B, nt_0, t_0, ...] -> [B, *fine]
+    perm = [rank]
+    for d in range(rank):
+        perm.extend([d, rank + 1 + d])
+    x = jnp.transpose(x, perm)
+    batch = x.shape[0]
+    return x.reshape((batch,) + geom.fine_shape)
 
 
-def extend_tiles_2d(fine: jax.Array, geom: TileGeometry) -> jax.Array:
-    """Full fine grid [B, nf1, nf2] -> per-tile extended blocks
-    [nty, ntx, B, Ey, Ex] (inverse companion of overlap_add_2d; used by
-    the interp kernel to give each tile its halo)."""
-    nty, ntx = geom.tiles
-    t0, t1 = geom.tile
+def extend_tiles(fine: jax.Array, geom: TileGeometry) -> jax.Array:
+    """Full fine grid [B, *fine] -> per-tile extended blocks
+    [*tiles, B, *ext] (inverse companion of overlap_add; used by the
+    interp kernel to give each tile its halo)."""
+    rank = geom.rank
     pad = geom.pad
-    b = fine.shape[0]
-    # Periodic pad then window: rows/cols [tile_start - pad,
-    # tile_start + t + pad).
-    padded = jnp.concatenate(
-        [fine[:, -pad:, :], fine, fine[:, :pad, :]], axis=1)
-    padded = jnp.concatenate(
-        [padded[:, :, -pad:], padded, padded[:, :, :pad]], axis=2)
-    # Window (ty, tx) starts at (ty*t0, tx*t1) in the padded array.
-    ey, ex = geom.ext
-    # Build via dynamic slicing per tile row/col is O(ntiles) python ops —
-    # acceptable (tile counts are small) and fuses under XLA.
-    rows = []
-    for ty in range(nty):
-        cols = []
-        for tx in range(ntx):
-            cols.append(jax.lax.dynamic_slice(
-                padded, (0, ty * t0, tx * t1), (b, ey, ex)))
-        rows.append(jnp.stack(cols, axis=0))
-    return jnp.stack(rows, axis=0)           # [nty, ntx, B, Ey, Ex]
+    x = fine
+    # Periodic pad along each spatial axis.
+    for d in range(rank):
+        ax = 1 + d
+        lo = jax.lax.slice_in_dim(
+            x, x.shape[ax] - pad, x.shape[ax], axis=ax)
+        hi = jax.lax.slice_in_dim(x, 0, pad, axis=ax)
+        x = jnp.concatenate([lo, x, hi], axis=ax)
+    # Per axis: stack nt windows of length E (unrolled slices; tile
+    # counts are small and XLA fuses the slices).
+    for d in range(rank):
+        ax = 1 + 2 * d     # current spatial axis position in x
+        nt = geom.tiles[d]
+        t = geom.tile[d]
+        e = t + 2 * pad
+        windows = [
+            jax.lax.slice_in_dim(x, i * t, i * t + e, axis=ax)
+            for i in range(nt)]
+        x = jnp.stack(windows, axis=ax)   # [..., nt, E, ...]
+    # x: [B, nt_0, E_0, nt_1, E_1, ...] -> [nt_0.., B, E_0..]
+    perm = [1 + 2 * d for d in range(rank)] + [0] + \
+        [2 + 2 * d for d in range(rank)]
+    return jnp.transpose(x, perm)

@@ -1,14 +1,14 @@
 """Pallas TPU interp kernel (type-2 gather) — the MXU formulation.
 
-Dual of ``pallas_spread``: per chunk of tile-sorted points, the fine
+Dual of ``pallas_spread``: per chunk of tile-grouped points, the fine
 grid's extended (halo-padded) tile is resident in VMEM and each point's
-value is the separable bilinear form
+value is the separable form
 
-    c_m = A_y[m, :] @ F_tile @ A_x[m, :]^T
+    c_m = sum_e A_0[m, e0] ... A_{r-1}[m, e_{r-1}] F_tile[e0..e_{r-1}]
 
-computed for the whole chunk as one MXU matmul (A_y @ F_tile) followed by
-a VPU row-reduction against A_x. Replaces the reference's shared-memory
-gather kernels (cc/kernels/nufft_plan.cu.cc:652-1804).
+computed for the whole chunk with MXU matmuls (A_y @ F_tile) and VPU
+row-reductions. Replaces the reference's shared-memory gather kernels
+(cc/kernels/nufft_plan.cu.cc:652-1804).
 """
 
 from __future__ import annotations
@@ -24,14 +24,15 @@ from jax.experimental.pallas import tpu as pltpu
 from tensorflow_nufft_tpu.kernels.binning import (
     BinnedPoints,
     TileGeometry,
-    bin_points_2d,
+    bin_points,
     choose_geometry,
-    extend_tiles_2d,
+    extend_tiles,
     scatter_chunked,
 )
 from tensorflow_nufft_tpu.kernels.pallas_spread import (
-    es_kernel_matrix,
-    supports,  # noqa: F401  (same support envelope as spread)
+    _kernel_matrices,
+    es_kernel_matrix,  # noqa: F401  (re-export for tests)
+    supports,          # noqa: F401  (same support envelope as spread)
     use_interpret,
 )
 from tensorflow_nufft_tpu.plan.plan import NufftPlan
@@ -39,73 +40,81 @@ from tensorflow_nufft_tpu.plan.plan import NufftPlan
 _MXU_PRECISION = jax.lax.Precision.HIGHEST
 
 
-def _interp_kernel(
-        # scalar prefetch
-        ty_ref, tx_ref,
-        # inputs
-        coords_ref, tile_ref,
-        # output
-        values_ref,
-        *, beta, c, half_width, tile, pad, batch2):
+def _interp_kernel(*refs, geom: TileGeometry, beta, c, half_width,
+                   batch2):
+    rank = geom.rank
+    tidx_refs = refs[:rank]
+    coords_ref, tile_ref = refs[rank], refs[rank + 1]
+    values_ref = refs[rank + 2]
     i = pl.program_id(0)
-    ey = tile[0] + 2 * pad
-    ex = tile[1] + 2 * pad
 
-    y0 = (ty_ref[i] * tile[0] - pad).astype(jnp.float32)
-    x0 = (tx_ref[i] * tile[1] - pad).astype(jnp.float32)
-    sy = coords_ref[0, :] - y0
-    sx = coords_ref[1, :] - x0
-    a_y = es_kernel_matrix(ey, sy, beta, c, half_width)     # [C, Ey]
-    a_x = es_kernel_matrix(ex, sx, beta, c, half_width)     # [C, Ex]
+    mats = _kernel_matrices(coords_ref, tidx_refs, i, geom, beta, c,
+                            half_width)
 
     for b in range(batch2):             # static unroll over channels
-        f_tile = tile_ref[0, 0, b]                           # [Ey, Ex]
-        t = jax.lax.dot_general(
-            a_y, f_tile, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_MXU_PRECISION)                        # [C, Ex]
-        values_ref[b, :] = jnp.sum(t * a_x, axis=1)
+        if rank == 1:
+            f_tile = tile_ref[0, b, :]                      # [E]
+            values_ref[b, :] = jnp.sum(mats[0] * f_tile[None, :], axis=1)
+        elif rank == 2:
+            f_tile = tile_ref[0, 0, b]                      # [Ey, Ex]
+            t = jax.lax.dot_general(
+                mats[0], f_tile, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_MXU_PRECISION)                    # [C, Ex]
+            values_ref[b, :] = jnp.sum(t * mats[1], axis=1)
+        else:
+            acc = jnp.zeros((coords_ref.shape[1],), jnp.float32)
+            for ez in range(geom.ext[0]):   # z-planes, static unroll
+                f_tile = tile_ref[0, 0, 0, b, ez]           # [Ey, Ex]
+                t = jax.lax.dot_general(
+                    mats[1], f_tile, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_MXU_PRECISION)                # [C, Ex]
+                acc = acc + mats[0][:, ez] * jnp.sum(t * mats[2], axis=1)
+            values_ref[b, :] = acc
 
 
 def interp_pallas(fine: jax.Array, points_resc: jax.Array,
                   plan: NufftPlan) -> jax.Array:
-    """[B2, nf1, nf2] fine grid + [M, 2] rescaled points -> [B2, M]."""
+    """[B2, *fine_shape] fine grid + [M, rank] rescaled points ->
+    [B2, M]."""
     m = points_resc.shape[0]
     batch2 = fine.shape[0]
     geom = choose_geometry(plan.fine_shape, plan.width, m)
-    binned = bin_points_2d(points_resc, geom)
-    tiles = extend_tiles_2d(fine.astype(jnp.float32), geom)
-    nty, ntx = geom.tiles
-    ey, ex = geom.ext
+    rank = geom.rank
+    binned = bin_points(points_resc, geom)
+    tiles = extend_tiles(fine.astype(jnp.float32), geom)
     chunk = geom.chunk
-    num_chunks = geom.num_chunks
 
     kernel = functools.partial(
         _interp_kernel,
+        geom=geom,
         beta=np.float32(plan.beta), c=np.float32(plan.c),
         half_width=np.float32(plan.half_width),
-        tile=geom.tile, pad=geom.pad, batch2=batch2)
+        batch2=batch2)
+
+    def tile_map(i, *refs):
+        tidx = refs[:rank]
+        return tuple(t[i] for t in tidx) + (0,) * (rank + 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(num_chunks,),
+        num_scalar_prefetch=rank,
+        grid=(geom.num_chunks,),
         in_specs=[
-            pl.BlockSpec((2, chunk), lambda i, ty, tx: (0, i),
+            pl.BlockSpec((rank, chunk), lambda i, *r: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, batch2, ey, ex),
-                         lambda i, ty, tx: (ty[i], tx[i], 0, 0, 0),
+            pl.BlockSpec((1,) * rank + (batch2,) + geom.ext, tile_map,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((batch2, chunk),
-                               lambda i, ty, tx: (0, i),
+                               lambda i, *r: (0, i),
                                memory_space=pltpu.VMEM),
     )
     chunk_vals = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((batch2, num_chunks * chunk),
-                                       jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (batch2, geom.num_chunks * chunk), jnp.float32),
         interpret=use_interpret(),
-    )(binned.chunk_ty, binned.chunk_tx,
-      binned.coords.T.reshape(2, num_chunks * chunk), tiles)
+    )(*binned.chunk_tidx, binned.coords, tiles)
     return scatter_chunked(chunk_vals, binned).astype(fine.dtype)

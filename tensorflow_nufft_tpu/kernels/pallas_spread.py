@@ -4,17 +4,19 @@ Replaces the reference's atomics-based CUDA spreading
 (cc/kernels/nufft_plan.cu.cc:473-650 and the CPU subproblem spreader,
 nufft_plan.cc:1463-1734) with a design built for the TPU's strengths:
 
-  1. Points are sorted by fine-grid tile (XLA preprocessing, binning.py).
-  2. The kernel walks chunks of sorted points sequentially (TPU Pallas
-     grids are sequential). Each chunk belongs to exactly one tile; the
-     tile's *extended* (halo-padded) block stays resident in VMEM across
-     all of that tile's chunks — the output BlockSpec index is
-     data-dependent via scalar prefetch.
+  1. Points are grouped by fine-grid tile (XLA preprocessing, binning.py,
+     no comparison sort).
+  2. The kernel walks chunks of tile-grouped points sequentially (TPU
+     Pallas grids are sequential). Each chunk belongs to exactly one
+     tile; the tile's *extended* (halo-padded) block stays resident in
+     VMEM across all of that tile's chunks — the output BlockSpec index
+     is data-dependent via scalar prefetch.
   3. Per chunk, the separable ES kernel is evaluated densely into
-     windowed kernel matrices A_y[m, ey] = phi(ey - sy_m) and
-     A_x[m, ex] = phi(ex - sx_m). The scatter becomes a matmul:
-         tile += A_y^T @ (strength ⊙ A_x)
-     which runs on the MXU — no atomics, no per-point control flow.
+     windowed kernel matrices A_d[m, e] = phi(e - s_m^d) per axis. The
+     scatter becomes matmuls:
+         tile += A_y^T @ (strength ⊙ A_x)            (2D;
+     1D is a masked reduce, 3D loops z-planes of the same matmul) —
+     MXU work, no atomics, no per-point control flow.
   4. Halos are merged by a deterministic XLA overlap-add (binning.py).
 
 Padded chunk slots carry a far-away sentinel coordinate, making their
@@ -35,10 +37,10 @@ from jax.experimental.pallas import tpu as pltpu
 from tensorflow_nufft_tpu.kernels.binning import (
     BinnedPoints,
     TileGeometry,
-    bin_points_2d,
+    bin_points,
     choose_geometry,
     gather_chunked,
-    overlap_add_2d,
+    overlap_add,
 )
 from tensorflow_nufft_tpu.plan.plan import NufftPlan
 
@@ -54,8 +56,8 @@ def use_interpret() -> bool:
 
 
 def supports(plan: NufftPlan) -> bool:
-    """Pallas path support: 2D, float32 precision (complex64)."""
-    return plan.rank == 2 and plan.spec.dtype_name == "complex64"
+    """Pallas path support: ranks 1-3, float32 precision (complex64)."""
+    return plan.rank in (1, 2, 3) and plan.spec.dtype_name == "complex64"
 
 
 def es_kernel_matrix(num_offsets: int, s: jax.Array, beta, c, half_width):
@@ -69,87 +71,124 @@ def es_kernel_matrix(num_offsets: int, s: jax.Array, beta, c, half_width):
     return jnp.where(inside, jnp.exp(beta * jnp.sqrt(arg)), 0.0)
 
 
-def _spread_kernel(
-        # scalar prefetch
-        ty_ref, tx_ref, first_ref,
-        # inputs
-        coords_ref, strengths_ref,
-        # output
-        tile_ref,
-        *, beta, c, half_width, tile, pad, batch2):
+def _kernel_matrices(coords_ref, tidx_refs, i, geom: TileGeometry,
+                     beta, c, half_width):
+    """Per-axis windowed kernel matrices for the current chunk."""
+    mats = []
+    for d in range(geom.rank):
+        origin = (tidx_refs[d][i] * geom.tile[d] - geom.pad).astype(
+            jnp.float32)
+        s = coords_ref[d, :] - origin
+        mats.append(es_kernel_matrix(
+            geom.ext[d], s, beta, c, half_width))
+    return mats
+
+
+def _spread_kernel(*refs, geom: TileGeometry, beta, c, half_width,
+                   batch2):
+    rank = geom.rank
+    tidx_refs = refs[:rank]
+    first_ref = refs[rank]
+    coords_ref, strengths_ref = refs[rank + 1], refs[rank + 2]
+    tile_ref = refs[rank + 3]
     i = pl.program_id(0)
-    ey = tile[0] + 2 * pad
-    ex = tile[1] + 2 * pad
 
-    y0 = (ty_ref[i] * tile[0] - pad).astype(jnp.float32)
-    x0 = (tx_ref[i] * tile[1] - pad).astype(jnp.float32)
-
-    sy = coords_ref[0, :] - y0          # [C] in extended-tile units
-    sx = coords_ref[1, :] - x0
-    a_y = es_kernel_matrix(ey, sy, beta, c, half_width)     # [C, Ey]
-    a_x = es_kernel_matrix(ex, sx, beta, c, half_width)     # [C, Ex]
+    mats = _kernel_matrices(coords_ref, tidx_refs, i, geom, beta, c,
+                            half_width)
 
     @pl.when(first_ref[i] == 1)
     def _():
         tile_ref[...] = jnp.zeros_like(tile_ref)
 
     for b in range(batch2):             # static unroll over channels
-        p = a_x * strengths_ref[b, :][:, None]              # [C, Ex]
-        contrib = jax.lax.dot_general(
-            a_y, p, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_MXU_PRECISION)                        # [Ey, Ex]
-        tile_ref[0, 0, b] += contrib
+        s_b = strengths_ref[b, :][:, None]
+        if rank == 1:
+            contrib = jnp.sum(mats[0] * s_b, axis=0)
+            tile_ref[0, b, :] += contrib
+        elif rank == 2:
+            p = mats[1] * s_b                               # [C, Ex]
+            contrib = jax.lax.dot_general(
+                mats[0], p, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_MXU_PRECISION)                    # [Ey, Ex]
+            tile_ref[0, 0, b] += contrib
+        else:
+            p = mats[2] * s_b                               # [C, Ex]
+            for ez in range(geom.ext[0]):   # z-planes, static unroll
+                w = mats[1] * mats[0][:, ez][:, None]       # [C, Ey]
+                contrib = jax.lax.dot_general(
+                    w, p, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_MXU_PRECISION)                # [Ey, Ex]
+                tile_ref[0, 0, 0, b, ez] += contrib
+
+
+def _index_maps(geom: TileGeometry, batch2: int):
+    """(in_specs, out_spec) with data-dependent tile indexing."""
+    rank = geom.rank
+    chunk = geom.chunk
+
+    def coords_map(i, *refs):
+        return (0, i)
+
+    def strengths_map(i, *refs):
+        return (0, i)
+
+    def out_map(i, *refs):
+        tidx = refs[:rank]
+        return tuple(t[i] for t in tidx) + (0,) * (rank + 1)
+
+    in_specs = [
+        pl.BlockSpec((rank, chunk), coords_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((batch2, chunk), strengths_map,
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec(
+        (1,) * rank + (batch2,) + geom.ext, out_map,
+        memory_space=pltpu.VMEM)
+    return in_specs, out_spec
 
 
 def _spread_tiles(strengths_chunked: jax.Array, binned: BinnedPoints,
                   geom: TileGeometry, plan: NufftPlan) -> jax.Array:
     """[B2, NC*chunk] chunked strengths ->
-    [nty, ntx, B2, Ey, Ex] extended tile blocks."""
+    [*tiles, B2, *ext] extended tile blocks."""
     batch2 = strengths_chunked.shape[0]
-    nty, ntx = geom.tiles
-    ey, ex = geom.ext
-    chunk = geom.chunk
-    num_chunks = geom.num_chunks
+    rank = geom.rank
 
     kernel = functools.partial(
         _spread_kernel,
+        geom=geom,
         beta=np.float32(plan.beta), c=np.float32(plan.c),
         half_width=np.float32(plan.half_width),
-        tile=geom.tile, pad=geom.pad, batch2=batch2)
+        batch2=batch2)
 
+    in_specs, out_spec = _index_maps(geom, batch2)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(num_chunks,),
-        in_specs=[
-            pl.BlockSpec((2, chunk), lambda i, ty, tx, f: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((batch2, chunk), lambda i, ty, tx, f: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, batch2, ey, ex),
-            lambda i, ty, tx, f: (ty[i], tx[i], 0, 0, 0),
-            memory_space=pltpu.VMEM),
+        num_scalar_prefetch=rank + 1,       # tile indices + first flag
+        grid=(geom.num_chunks,),
+        in_specs=in_specs,
+        out_specs=out_spec,
     )
+    out_shape = jax.ShapeDtypeStruct(
+        geom.tiles + (batch2,) + geom.ext, jnp.float32)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nty, ntx, batch2, ey, ex),
-                                       jnp.float32),
+        out_shape=out_shape,
         interpret=use_interpret(),
-    )(binned.chunk_ty, binned.chunk_tx, binned.chunk_first,
-      binned.coords.T.reshape(2, num_chunks * chunk),
-      strengths_chunked)
+    )(*binned.chunk_tidx, binned.chunk_first,
+      binned.coords, strengths_chunked)
 
 
 def spread_pallas(strengths: jax.Array, points_resc: jax.Array,
                   plan: NufftPlan) -> jax.Array:
-    """[B2, M] real strengths + [M, 2] rescaled points ->
-    [B2, nf1, nf2] fine grid. B2 is the folded batch*channel axis."""
+    """[B2, M] real strengths + [M, rank] rescaled points ->
+    [B2, *fine_shape] fine grid. B2 is the folded batch*channel axis."""
     m = points_resc.shape[0]
     geom = choose_geometry(plan.fine_shape, plan.width, m)
-    binned = bin_points_2d(points_resc, geom)
+    binned = bin_points(points_resc, geom)
     chunked = gather_chunked(strengths, binned, geom)
     tiles = _spread_tiles(chunked.astype(jnp.float32), binned, geom, plan)
-    return overlap_add_2d(tiles, geom).astype(strengths.dtype)
+    return overlap_add(tiles, geom).astype(strengths.dtype)

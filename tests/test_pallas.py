@@ -1,0 +1,123 @@
+"""Pallas kernel path (interpret mode on CPU): binning invariants and
+spread/interp correctness vs the XLA path, ranks 1-3, adversarial point
+distributions."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tensorflow_nufft_tpu as tfft
+from tensorflow_nufft_tpu.kernels import binning
+from tensorflow_nufft_tpu.planar import to_planar
+from tests.conftest import random_complex, random_points
+
+
+def _relerr(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    return np.max(np.abs(a - b)) / (np.max(np.abs(b)) or 1.0)
+
+
+def _adversarial_points(rng, m, rank):
+    """Uniform + clustered + edge + duplicate points."""
+    parts = [
+        rng.uniform(-np.pi, np.pi, (m // 2, rank)),
+        rng.normal(0, 0.05, (m // 4, rank)),                # hot tile
+        np.full((m // 8, rank), np.pi * 0.9999),            # edge/wrap
+    ]
+    rest = m - sum(p.shape[0] for p in parts)
+    dup = rng.uniform(-np.pi, np.pi, (1, rank))
+    parts.append(np.tile(dup, (rest, 1)))                   # duplicates
+    pts = np.concatenate(parts).astype(np.float32)
+    return np.clip(pts, -np.pi, np.pi)
+
+
+class TestBinning:
+    def test_geometry_divides(self):
+        for fs, w in [((512, 512), 7), ((128,), 5), ((64, 64, 64), 7),
+                      ((250,), 9), ((96, 160), 4)]:
+            g = binning.choose_geometry(fs, w, 10000)
+            for nf, t in zip(g.fine_shape, g.tile):
+                assert nf % t == 0
+                assert t >= 2 * g.pad
+            assert g.pad == w // 2 + 1
+
+    @pytest.mark.parametrize("rank", [1, 2, 3])
+    def test_every_point_has_slot(self, rng, rank):
+        m = 500
+        fine = {1: (256,), 2: (64, 64), 3: (32, 32, 32)}[rank]
+        pts = rng.uniform(0, np.array(fine) - 1e-3,
+                          (m, rank)).astype(np.float32)
+        geom = binning.choose_geometry(fine, 5, m, chunk=64)
+        b = binning.bin_points(jnp.asarray(pts), geom)
+        padpos = np.asarray(b.padpos)
+        assert len(np.unique(padpos)) == m          # injective
+        assert padpos.max() < geom.num_chunks * geom.chunk
+        # Each point's chunk belongs to the point's own tile.
+        chunk_of = padpos // geom.chunk
+        for d in range(rank):
+            td = (pts[:, d] // geom.tile[d]).astype(int)
+            np.testing.assert_array_equal(
+                np.asarray(b.chunk_tidx[d])[chunk_of], td)
+
+    def test_overlap_add_roundtrip(self, rng):
+        """extend_tiles then overlap_add == multiply by overlap counts...
+        verified instead via: overlap_add(extend(x)) sums each element
+        once per window covering it; with zeroed halos it's identity."""
+        geom = binning.choose_geometry((64, 64), 7, 100)
+        x = jnp.asarray(rng.standard_normal((2, 64, 64)).astype(
+            np.float32))
+        ext = binning.extend_tiles(x, geom)
+        # Zero out the halo bands, keep cores; overlap_add must return x.
+        pad = geom.pad
+        core_only = jnp.zeros_like(ext)
+        core_only = core_only.at[
+            ..., pad:pad + geom.tile[0], pad:pad + geom.tile[1]].set(
+            ext[..., pad:pad + geom.tile[0], pad:pad + geom.tile[1]])
+        back = binning.overlap_add(core_only, geom)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x),
+                                   rtol=1e-6)
+
+    def test_extend_tiles_halo_wrap(self, rng):
+        geom = binning.choose_geometry((64, 64), 7, 100)
+        x = jnp.asarray(np.arange(64 * 64, dtype=np.float32
+                                  ).reshape(1, 64, 64))
+        ext = np.asarray(binning.extend_tiles(x, geom))
+        pad = geom.pad
+        # Tile (0, 0)'s top halo rows wrap to the grid's bottom rows.
+        np.testing.assert_array_equal(
+            ext[0, 0, 0, :pad, pad:pad + geom.tile[1]],
+            np.asarray(x)[0, -pad:, :geom.tile[1]])
+
+
+@pytest.mark.parametrize("grid_shape,m", [
+    ((64,), 600), ((32, 48), 800), ((16, 16, 16), 700)])
+@pytest.mark.parametrize("transform_type", ["type_1", "type_2"])
+def test_pallas_matches_xla(rng, grid_shape, m, transform_type):
+    rank = len(grid_shape)
+    pts = _adversarial_points(rng, m, rank)
+    if transform_type == "type_1":
+        src = to_planar(random_complex(rng, (m,), np.complex64))
+        gs = grid_shape
+    else:
+        src = to_planar(random_complex(rng, grid_shape, np.complex64))
+        gs = None
+    kw = dict(grid_shape=gs, transform_type=transform_type, tol=1e-5)
+    a = tfft.planar.nufft(src, pts, options=tfft.Options(backend="xla"),
+                          **kw)
+    b = tfft.planar.nufft(src, pts,
+                          options=tfft.Options(backend="pallas"), **kw)
+    assert _relerr(b, a) < 1e-4
+
+
+def test_pallas_batched(rng):
+    grid_shape = (32, 32)
+    m = 300
+    pts = _adversarial_points(rng, m, 2)
+    src = to_planar(random_complex(rng, (3, m), np.complex64))
+    kw = dict(grid_shape=grid_shape, transform_type="type_1")
+    a = tfft.planar.nufft(src, pts, options=tfft.Options(backend="xla"),
+                          **kw)
+    b = tfft.planar.nufft(src, pts,
+                          options=tfft.Options(backend="pallas"), **kw)
+    assert _relerr(b, a) < 1e-4
