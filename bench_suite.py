@@ -1,0 +1,163 @@
+"""Full benchmark suite: the reference's 8 cases plus BASELINE configs.
+
+Reference harness (nufft_ops_test.py:728-809): 2D 256^2 type-1/2 with
+200k points (single / batch-16 shared points / batch-16 per-batch
+points), 3D 128^3 type-1/2 with 800k points. BASELINE.md adds the 65k 2D
+case, a radial multicoil case, and a CG-SENSE autodiff case.
+
+Run: python bench_suite.py [--quick]
+Prints one JSON line per case to stdout (suite results; the driver's
+single-line benchmark is bench.py).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def marginal_time(make_fn, args, k2=9):
+    """Marginal per-iteration time between K=1 and K=k2 chained runs."""
+    import jax
+    f1, f2 = jax.jit(make_fn(1)), jax.jit(make_fn(k2))
+    np.asarray(f1(*args))
+    np.asarray(f2(*args))
+    b1 = b2 = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(f1(*args))
+        b1 = min(b1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(f2(*args))
+        b2 = min(b2, time.perf_counter() - t0)
+    return max((b2 - b1) / (k2 - 1), 1e-9)
+
+
+def nufft_case(name, grid_shape, num_points, transform_type,
+               batch=None, shared_points=True, k2=9):
+    import jax
+    import jax.numpy as jnp
+    import tensorflow_nufft_tpu as tfft
+    from tensorflow_nufft_tpu.planar import to_planar
+
+    rng = np.random.default_rng(7)
+    rank = len(grid_shape)
+    pts_batch = () if (shared_points or batch is None) else (batch,)
+    src_batch = () if batch is None else (batch,)
+    points = rng.uniform(-np.pi, np.pi,
+                         pts_batch + (num_points, rank)).astype(
+        np.float32)
+    if transform_type == "type_1":
+        z = (rng.standard_normal(src_batch + (num_points,))
+             + 1j * rng.standard_normal(src_batch + (num_points,)))
+        kwargs = dict(grid_shape=grid_shape)
+    else:
+        z = (rng.standard_normal(src_batch + grid_shape)
+             + 1j * rng.standard_normal(src_batch + grid_shape))
+        kwargs = {}
+    src = jnp.asarray(to_planar(z.astype(np.complex64)))
+    pts = jnp.asarray(points)
+
+    def make(k):
+        def f(p):
+            def body(i, acc):
+                out = tfft.planar.nufft(
+                    src * (1.0 + 1e-6 * i), p,
+                    transform_type=transform_type, **kwargs)
+                return acc + out.ravel()[0]
+            return jax.lax.fori_loop(0, k, body, 0.0)
+        return f
+
+    per = marginal_time(make, (pts,), k2=k2)
+    total_pts = num_points * (batch or 1)
+    return {
+        "metric": name,
+        "value": round(total_pts / per, 1),
+        "unit": "points/s",
+        "ms_per_transform": round(per * 1e3, 3),
+    }
+
+
+def cg_sense_case(k2=5):
+    import jax
+    import jax.numpy as jnp
+    from tensorflow_nufft_tpu.models import mri
+
+    grid = (128, 128)
+    coils = 8
+    spokes, samples = 128, 256
+    pts = jnp.asarray(mri.radial_trajectory(spokes, samples))
+    maps = jnp.asarray(mri.birdcage_maps(coils, grid))
+    phantom = jnp.asarray(mri.shepp_logan(grid))
+    density = jnp.asarray(mri.radial_density(spokes, samples))
+    op = mri.SenseNufft(pts, maps, grid, density=density)
+    kspace = jax.jit(op.forward)(phantom)
+
+    def make(k):
+        def f(ksp):
+            def body(i, acc):
+                rec = mri.cg_sense(ksp * (1.0 + 1e-6 * i), op,
+                                   num_iters=10)
+                return acc + rec[0, 0, 0]
+            return jax.lax.fori_loop(0, k, body, 0.0)
+        return f
+
+    per = marginal_time(make, (kspace,), k2=k2)
+    return {
+        "metric": "cg_sense_10iter_128_8coil_radial",
+        "value": round(per * 1e3, 2),
+        "unit": "ms/recon",
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+    log(f"backend: {jax.default_backend()}")
+
+    cases = [
+        ("2d_t2_256_200k", (256, 256), 200_000, "type_2", None, True),
+        ("2d_t1_256_200k", (256, 256), 200_000, "type_1", None, True),
+        ("2d_t1_256_65k", (256, 256), 65_536, "type_1", None, True),
+        ("2d_t2_256_200k_b16_shared", (256, 256), 200_000, "type_2",
+         16, True),
+        ("2d_t1_256_200k_b16_shared", (256, 256), 200_000, "type_1",
+         16, True),
+    ]
+    if not args.quick:
+        cases += [
+            ("2d_t2_256_200k_b16_perbatch", (256, 256), 200_000,
+             "type_2", 16, False),
+            ("3d_t2_128_800k", (128, 128, 128), 800_000, "type_2",
+             None, True),
+            ("3d_t1_128_800k", (128, 128, 128), 800_000, "type_1",
+             None, True),
+        ]
+
+    for name, gs, m, tt, batch, shared in cases:
+        try:
+            res = nufft_case(name, gs, m, tt, batch, shared,
+                             k2=5 if len(gs) == 3 else 9)
+            print(json.dumps(res), flush=True)
+        except Exception as e:  # keep the suite going
+            print(json.dumps({"metric": name, "error": str(e)[:200]}),
+                  flush=True)
+    if not args.quick:
+        try:
+            print(json.dumps(cg_sense_case()), flush=True)
+        except Exception as e:
+            print(json.dumps({"metric": "cg_sense", "error":
+                              str(e)[:200]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -70,12 +70,15 @@ Geometry<T> make_geometry(int rank, const int64_t* dims, int width,
 }
 
 // Per-point kernel footprint along one axis: first covered integer
-// i0 = ceil(s - w/2) and the width kernel values.
+// i0 = ceil(s - w/2) and the width kernel values. Points are always
+// double so single-precision data keeps full coordinate accuracy (the
+// phase error of an f32 coordinate is k_max * 2^-24-scale otherwise).
 template <typename T>
-inline int64_t axis_kernel(const Geometry<T>& g, T s, T* vals) {
-  int64_t i0 = (int64_t)std::ceil(s - g.half_width);
+inline int64_t axis_kernel(const Geometry<T>& g, double s, T* vals) {
+  int64_t i0 = (int64_t)std::ceil(s - (double)g.half_width);
   for (int j = 0; j < g.width; ++j) {
-    vals[j] = es_kernel(T(i0 + j) - s, g.beta, g.c, g.half_width);
+    vals[j] = es_kernel(T((double)(i0 + j) - s), g.beta, g.c,
+                        g.half_width);
   }
   return i0;
 }
@@ -93,7 +96,7 @@ inline int64_t wrap(int64_t i, int64_t n) {
 // overlap, the inner axes in full.
 template <typename T>
 void spread_impl(const Geometry<T>& g, int64_t num_points, int64_t batch,
-                 const T* points, const T* strengths, T* fine,
+                 const double* points, const T* strengths, T* fine,
                  int num_threads) {
   const int64_t n0 = g.dims[0];
   const int64_t fine_size = g.strides[0] * g.dims[0];
@@ -119,9 +122,10 @@ void spread_impl(const Geometry<T>& g, int64_t num_points, int64_t batch,
     T* kv[kMaxRank] = {k0, k1, k2};
 
     for (int64_t m = 0; m < num_points; ++m) {
-      const T* p = points + m * g.rank;
+      const double* p = points + m * g.rank;
       // Leading-axis footprint.
-      const int64_t i0 = (int64_t)std::ceil(p[0] - g.half_width);
+      const int64_t i0 =
+          (int64_t)std::ceil(p[0] - (double)g.half_width);
       // Does [i0, i0+w) wrapped intersect [r0, r1)?
       bool hit = false;
       for (int j = 0; j < w && !hit; ++j) {
@@ -191,7 +195,7 @@ void spread_impl(const Geometry<T>& g, int64_t num_points, int64_t batch,
 // [batch, M]. Embarrassingly parallel over points.
 template <typename T>
 void interp_impl(const Geometry<T>& g, int64_t num_points, int64_t batch,
-                 const T* points, const T* fine, T* values,
+                 const double* points, const T* fine, T* values,
                  int num_threads) {
   const int64_t fine_size = g.strides[0] * g.dims[0];
   const int w = g.width;
@@ -201,7 +205,7 @@ void interp_impl(const Geometry<T>& g, int64_t num_points, int64_t batch,
 
 #pragma omp parallel for num_threads(num_threads) schedule(static)
   for (int64_t m = 0; m < num_points; ++m) {
-    const T* p = points + m * g.rank;
+    const double* p = points + m * g.rank;
     T k0[16], k1[16], k2[16];
     T* kv[kMaxRank] = {k0, k1, k2};
     int64_t base[kMaxRank];
@@ -259,7 +263,7 @@ extern "C" {
 #define DEFINE_ENTRY(NAME, T, IMPL)                                     \
   void NAME(int rank, const int64_t* dims, int64_t num_points,          \
             int64_t batch, int width, double beta, int num_threads,     \
-            const T* points, const T* a, T* b) {                        \
+            const double* points, const T* a, T* b) {                   \
     Geometry<T> g = make_geometry<T>(rank, dims, width, beta);          \
     IMPL<T>(g, num_points, batch, points, a, b, num_threads);           \
   }

@@ -85,6 +85,103 @@ def dft_truncate_deconvolve(x: jax.Array, plan,
     return jnp.stack([xr, xi], axis=-1)
 
 
+def _ext_mode_twiddles(nf: int, n: int, num_tiles: int, tile: int,
+                       pad: int, sign: float, weights: np.ndarray,
+                       truncating: bool) -> tuple:
+    """Like _mode_twiddles but over the *tile-extended* axis layout.
+
+    Row (ti, e) of the extended axis corresponds to global fine index
+    g = (ti*tile + e - pad) mod nf. Contracting tile-extended data with
+    these matrices computes overlap-add (duplicate g rows sum) + DFT +
+    truncation + deconvolution in a single matmul, so the per-tile halo
+    merge never materializes in memory.
+    """
+    k = np.arange(n) - n // 2
+    slots = np.mod(k, nf)
+    ti = np.repeat(np.arange(num_tiles), tile + 2 * pad)
+    e = np.tile(np.arange(tile + 2 * pad), num_tiles)
+    g = np.mod(ti * tile + e - pad, nf)                  # [nt*E]
+    ang = (2.0 * np.pi / nf) * np.outer(g, slots)        # [nt*E, n]
+    c = np.cos(ang) * weights[None, :]
+    s = sign * np.sin(ang) * weights[None, :]
+    if truncating:
+        return c, s
+    return c.T.copy(), s.T.copy()
+
+
+def dft_truncate_deconvolve_tiled(tiles: jax.Array, plan, geom,
+                                  batch: int,
+                                  precision=jax.lax.Precision.HIGHEST
+                                  ) -> jax.Array:
+    """Type-1 post-stage directly from per-tile extended spread output.
+
+    Args:
+        tiles: [*tiles, B2, *ext] float (B2 = 2*batch folded channels).
+
+    Returns:
+        [batch, *grid_shape, 2] planar modes (CMCL).
+    """
+    rank = plan.rank
+    sign = -1.0 if plan.spec.fft_direction == "forward" else 1.0
+    # [nt_0.., B2, E_0..] -> [B2, nt_0, E_0, nt_1, E_1, ...]
+    perm = [rank]
+    for d in range(rank):
+        perm.extend([d, rank + 1 + d])
+    x = jnp.transpose(tiles, perm)
+    nt = geom.tiles
+    ext = geom.ext
+    x = x.reshape((x.shape[0],) + tuple(
+        nt[d] * ext[d] for d in range(rank)))
+    x = x.reshape((batch, 2) + x.shape[1:])
+    xr, xi = x[:, 0], x[:, 1]
+    for d in range(rank):
+        c_np, s_np = _ext_mode_twiddles(
+            plan.fine_shape[d], plan.grid_shape[d], nt[d], geom.tile[d],
+            geom.pad, sign, plan.deconv_weights(d), truncating=True)
+        c = jnp.asarray(c_np, xr.dtype)
+        s = jnp.asarray(s_np, xr.dtype)
+        xr, xi = _contract_planar(xr, xi, c, s, 1 + d, precision)
+    return jnp.stack([xr, xi], axis=-1)
+
+
+def amplify_pad_dft_tiled(modes: jax.Array, plan, geom,
+                          precision=jax.lax.Precision.HIGHEST
+                          ) -> jax.Array:
+    """Type-2 pre-stage producing per-tile extended fine-grid blocks.
+
+    Args:
+        modes: [batch, *grid_shape, 2] planar CMCL modes.
+
+    Returns:
+        [*tiles, B2, *ext] float blocks ready for the interp kernel —
+        the windowing/halo duplication is folded into the contraction,
+        so the full fine grid never materializes.
+    """
+    rank = plan.rank
+    sign = -1.0 if plan.spec.fft_direction == "forward" else 1.0
+    batch = modes.shape[0]
+    xr, xi = modes[..., 0], modes[..., 1]
+    nt = geom.tiles
+    ext = geom.ext
+    for d in range(rank):
+        c_np, s_np = _ext_mode_twiddles(
+            plan.fine_shape[d], plan.grid_shape[d], nt[d], geom.tile[d],
+            geom.pad, sign, plan.deconv_weights(d), truncating=False)
+        c = jnp.asarray(c_np, xr.dtype)
+        s = jnp.asarray(s_np, xr.dtype)
+        xr, xi = _contract_planar(xr, xi, c, s, 1 + d, precision)
+    x = jnp.stack([xr, xi], axis=1)          # [B, 2, nt0*E0, ...]
+    x = x.reshape((batch * 2,) + x.shape[2:])
+    shape = (x.shape[0],)
+    for d in range(rank):
+        shape += (nt[d], ext[d])
+    x = x.reshape(shape)                     # [B2, nt0, E0, nt1, E1..]
+    # -> [nt_0.., B2, E_0..]
+    perm = [1 + 2 * d for d in range(rank)] + [0] + \
+        [2 + 2 * d for d in range(rank)]
+    return jnp.transpose(x, perm)
+
+
 def amplify_pad_dft(x: jax.Array, plan,
                     precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     """Type-2 pre-stage: [B, *grid, 2] modes (CMCL) -> [B, *fine, 2]

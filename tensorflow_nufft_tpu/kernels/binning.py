@@ -136,25 +136,32 @@ def choose_geometry(fine_shape: Sequence[int], width: int,
 
 class BinnedPoints(NamedTuple):
     """Tile-ordered, chunk-padded point metadata (a pytree)."""
-    coords: jax.Array       # [rank, num_chunks * chunk] fine-grid units
+    coords: jax.Array       # [2*rank, NC*chunk]: hi rows then lo rows
     inv: jax.Array          # [num_chunks * chunk] original index (M=pad)
     padpos: jax.Array       # [M] slot of each point in the padded stream
     chunk_tidx: Tuple[jax.Array, ...]  # per-axis tile index per chunk
     chunk_first: jax.Array  # [num_chunks] 1 if first chunk of its tile
 
 
-def bin_points(points_resc: jax.Array, geom: TileGeometry
-               ) -> BinnedPoints:
+def bin_points(points_resc, geom: TileGeometry) -> BinnedPoints:
     """Groups points by tile and builds the padded chunk stream.
 
     Args:
-        points_resc: [M, rank] coordinates in fine-grid units ([0, nf)).
+        points_resc: coordinates in fine-grid units ([0, nf)): a
+            [M, rank] array or a two-float (hi, lo) pair (see
+            ``xla_ops.fold_and_rescale_split``; the low word restores
+            full coordinate precision inside the kernels).
         geom: static tiling.
 
     Returns:
         BinnedPoints with static shapes independent of the distribution.
     """
-    m = points_resc.shape[0]
+    if isinstance(points_resc, tuple):
+        points_hi, points_lo = points_resc
+    else:
+        points_hi = points_resc
+        points_lo = jnp.zeros_like(points_resc)
+    m = points_hi.shape[0]
     rank = geom.rank
     tiles = geom.tiles
     num_tiles = geom.num_tiles
@@ -164,7 +171,7 @@ def bin_points(points_resc: jax.Array, geom: TileGeometry
     tidx = []
     for d in range(rank):
         td = jnp.clip(
-            (points_resc[:, d] // geom.tile[d]).astype(jnp.int32),
+            (points_hi[:, d] // geom.tile[d]).astype(jnp.int32),
             0, tiles[d] - 1)
         tidx.append(td)
     tid = tidx[0]
@@ -191,9 +198,14 @@ def bin_points(points_resc: jax.Array, geom: TileGeometry
     inv = jnp.full((num_chunks * chunk,), m, dtype=jnp.int32)
     inv = inv.at[padpos].set(jnp.arange(m, dtype=jnp.int32))
 
-    coords_ext = jnp.concatenate(
-        [points_resc.T,
-         jnp.full((rank, 1), SENTINEL, points_resc.dtype)], axis=1)
+    coords_ext = jnp.concatenate([
+        jnp.concatenate(
+            [points_hi.T,
+             jnp.full((rank, 1), SENTINEL, points_hi.dtype)], axis=1),
+        jnp.concatenate(
+            [points_lo.T, jnp.zeros((rank, 1), points_lo.dtype)],
+            axis=1),
+    ], axis=0)                                           # [2r, M+1]
     coords = coords_ext[:, inv]                          # gather
 
     # Chunk -> tile mapping; chunks beyond the used range attach to the

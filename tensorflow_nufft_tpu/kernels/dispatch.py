@@ -4,24 +4,26 @@ Mirrors the reference's spread-method auto-selection
 (cc/kernels/nufft_plan.cu.cc:1871-1879) but for TPU: 'pallas' is the
 tile-exclusive MXU formulation, 'xla' the portable scatter/gather path.
 'auto' picks Pallas on TPU when the configuration is supported and XLA
-otherwise (CPU, interpret mode, unsupported ranks/dtypes).
+otherwise (CPU, unsupported dtypes, spread-only ops that must stay
+differentiable through the kernel).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tensorflow_nufft_tpu.kernels import xla_ops
 from tensorflow_nufft_tpu.plan.plan import NufftPlan
 
 
-def _use_pallas(plan: NufftPlan, data: jax.Array) -> bool:
+def pallas_active(plan: NufftPlan, dtype) -> bool:
+    """Whether the Pallas path serves this plan for real data of
+    ``dtype`` (the Pallas kernels are planar/real-only)."""
     if plan.spec.backend == "xla":
         return False
-    if jnp.issubdtype(data.dtype, jnp.complexfloating):
-        # The Pallas kernels are planar (real) only; the complex path is
-        # served by XLA.
+    if jnp.issubdtype(np.dtype(dtype), jnp.complexfloating):
         return False
     try:
         from tensorflow_nufft_tpu.kernels import pallas_spread as ps
@@ -42,10 +44,105 @@ def _use_pallas(plan: NufftPlan, data: jax.Array) -> bool:
     return ps.supports(plan)
 
 
+def _native_requested(plan: NufftPlan) -> bool:
+    if plan.spec.backend != "native":
+        return False
+    from tensorflow_nufft_tpu.native import engine
+    return engine.available()
+
+
+def _points_pair(points_resc):
+    if isinstance(points_resc, tuple):
+        return points_resc
+    return points_resc, jnp.zeros_like(points_resc)
+
+
+def _host_points(hi, lo):
+    """Reconstructs float64 coordinates from the two-float pair on the
+    host (the engine takes double points for full precision)."""
+    return np.asarray(hi).astype(np.float64) + np.asarray(lo)
+
+
+def _native_spread_callback(strengths, points_resc, plan: NufftPlan):
+    """Host-callback spread on the C++ engine (complex or planar)."""
+    from tensorflow_nufft_tpu.native import engine
+
+    complex_in = jnp.issubdtype(strengths.dtype, jnp.complexfloating)
+    out_shape = (strengths.shape[0],) + plan.fine_shape
+    hi, lo = _points_pair(points_resc)
+
+    if complex_in:
+        def host(s, p_hi, p_lo):
+            s = np.asarray(s)
+            return engine.spread(
+                s, _host_points(p_hi, p_lo), plan.fine_shape,
+                plan.width, plan.beta).astype(s.dtype)
+        result = jax.ShapeDtypeStruct(out_shape, strengths.dtype)
+        return jax.pure_callback(host, result, strengths, hi, lo,
+                                 vmap_method="sequential")
+
+    # Planar real: fold the (re, im) channel pair through the complex
+    # engine by viewing consecutive batch rows as complex pairs.
+    def host_planar(s, p_hi, p_lo):
+        s = np.asarray(s)                      # [B2, M] real, (b, c)
+        c_dt = np.complex64 if s.dtype == np.float32 else np.complex128
+        z = s[0::2] + 1j * s[1::2]
+        out = engine.spread(z.astype(c_dt), _host_points(p_hi, p_lo),
+                            plan.fine_shape, plan.width, plan.beta)
+        stacked = np.empty((s.shape[0],) + plan.fine_shape, s.dtype)
+        stacked[0::2] = out.real
+        stacked[1::2] = out.imag
+        return stacked
+
+    result = jax.ShapeDtypeStruct(out_shape, strengths.dtype)
+    return jax.pure_callback(host_planar, result, strengths, hi, lo,
+                             vmap_method="sequential")
+
+
+def _native_interp_callback(fine, points_resc, plan: NufftPlan):
+    from tensorflow_nufft_tpu.native import engine
+
+    complex_in = jnp.issubdtype(fine.dtype, jnp.complexfloating)
+    hi, lo = _points_pair(points_resc)
+    m = hi.shape[0]
+    out_shape = (fine.shape[0], m)
+
+    if complex_in:
+        def host(f, p_hi, p_lo):
+            f = np.ascontiguousarray(np.asarray(f))
+            return engine.interp(f, _host_points(p_hi, p_lo),
+                                 plan.width, plan.beta).astype(f.dtype)
+        result = jax.ShapeDtypeStruct(out_shape, fine.dtype)
+        return jax.pure_callback(host, result, fine, hi, lo,
+                                 vmap_method="sequential")
+
+    def host_planar(f, p_hi, p_lo):
+        f = np.asarray(f)                      # [B2, *fine] real
+        c_dt = np.complex64 if f.dtype == np.float32 else np.complex128
+        z = (f[0::2] + 1j * f[1::2]).astype(c_dt)
+        out = engine.interp(np.ascontiguousarray(z),
+                            _host_points(p_hi, p_lo), plan.width,
+                            plan.beta)
+        stacked = np.empty((f.shape[0], out.shape[1]), f.dtype)
+        stacked[0::2] = out.real
+        stacked[1::2] = out.imag
+        return stacked
+
+    result = jax.ShapeDtypeStruct(out_shape, fine.dtype)
+    return jax.pure_callback(host_planar, result, fine, hi, lo,
+                             vmap_method="sequential")
+
+
 def spread(strengths: jax.Array, points_resc: jax.Array,
            plan: NufftPlan) -> jax.Array:
-    """[B, M] strengths + [M, rank] rescaled points -> [B, *fine_shape]."""
-    if _use_pallas(plan, strengths):
+    """[B, M] strengths + [M, rank] rescaled points -> [B, *fine_shape].
+
+    Full-fine-grid output; the tiled entry points below avoid
+    materializing the fine grid on the Pallas path.
+    """
+    if _native_requested(plan):
+        return _native_spread_callback(strengths, points_resc, plan)
+    if pallas_active(plan, strengths.dtype):
         from tensorflow_nufft_tpu.kernels import pallas_spread
         return pallas_spread.spread_pallas(strengths, points_resc, plan)
     indices, kernels = xla_ops.spread_geometry(points_resc, plan)
@@ -55,8 +152,33 @@ def spread(strengths: jax.Array, points_resc: jax.Array,
 def interp(fine: jax.Array, points_resc: jax.Array,
            plan: NufftPlan) -> jax.Array:
     """[B, *fine_shape] grid + [M, rank] rescaled points -> [B, M]."""
-    if _use_pallas(plan, fine):
+    if _native_requested(plan):
+        return _native_interp_callback(fine, points_resc, plan)
+    if pallas_active(plan, fine.dtype):
         from tensorflow_nufft_tpu.kernels import pallas_interp
         return pallas_interp.interp_pallas(fine, points_resc, plan)
     indices, kernels = xla_ops.spread_geometry(points_resc, plan)
     return xla_ops.interp_xla(fine, indices, kernels, plan)
+
+
+def spread_tiled(strengths: jax.Array, points_resc,
+                 plan: NufftPlan):
+    """Pallas spread returning per-tile extended blocks (no overlap-add):
+    -> (tiles [*tiles, B2, *ext], geom). Pallas-only entry point."""
+    from tensorflow_nufft_tpu.kernels import binning, pallas_spread
+    m = pallas_spread.num_points_of(points_resc)
+    geom = binning.choose_geometry(plan.fine_shape, plan.width, m)
+    binned = binning.bin_points(points_resc, geom)
+    chunked = binning.gather_chunked(strengths, binned, geom)
+    tiles = pallas_spread._spread_tiles(
+        chunked.astype(jnp.float32), binned, geom, plan)
+    return tiles, geom
+
+
+def interp_tiled(tiles: jax.Array, points_resc: jax.Array,
+                 plan: NufftPlan, geom) -> jax.Array:
+    """Pallas interp consuming per-tile extended blocks:
+    tiles [*tiles, B2, *ext] -> values [B2, M]."""
+    from tensorflow_nufft_tpu.kernels import pallas_interp
+    return pallas_interp.interp_pallas_tiled(tiles, points_resc, plan,
+                                             geom)

@@ -32,6 +32,7 @@ from tensorflow_nufft_tpu.kernels.binning import (
 from tensorflow_nufft_tpu.kernels.pallas_spread import (
     _kernel_matrices,
     es_kernel_matrix,  # noqa: F401  (re-export for tests)
+    num_points_of,
     supports,          # noqa: F401  (same support envelope as spread)
     use_interpret,
 )
@@ -74,16 +75,26 @@ def _interp_kernel(*refs, geom: TileGeometry, beta, c, half_width,
             values_ref[b, :] = acc
 
 
-def interp_pallas(fine: jax.Array, points_resc: jax.Array,
+def interp_pallas(fine: jax.Array, points_resc,
                   plan: NufftPlan) -> jax.Array:
-    """[B2, *fine_shape] fine grid + [M, rank] rescaled points ->
-    [B2, M]."""
-    m = points_resc.shape[0]
-    batch2 = fine.shape[0]
+    """[B2, *fine_shape] fine grid + [M, rank] rescaled points (or
+    (hi, lo) pair) -> [B2, M]."""
+    m = num_points_of(points_resc)
     geom = choose_geometry(plan.fine_shape, plan.width, m)
-    rank = geom.rank
-    binned = bin_points(points_resc, geom)
     tiles = extend_tiles(fine.astype(jnp.float32), geom)
+    return interp_pallas_tiled(tiles, points_resc, plan,
+                               geom).astype(fine.dtype)
+
+
+def interp_pallas_tiled(tiles: jax.Array, points_resc,
+                        plan: NufftPlan, geom: TileGeometry) -> jax.Array:
+    """[*tiles, B2, *ext] extended blocks + [M, rank] rescaled points ->
+    [B2, M]. The halo windowing is the caller's (fused into the upstream
+    contraction by amplify_pad_dft_tiled, or done by extend_tiles)."""
+    m = num_points_of(points_resc)
+    rank = geom.rank
+    batch2 = tiles.shape[rank]
+    binned = bin_points(points_resc, geom)
     chunk = geom.chunk
 
     kernel = functools.partial(
@@ -101,7 +112,7 @@ def interp_pallas(fine: jax.Array, points_resc: jax.Array,
         num_scalar_prefetch=rank,
         grid=(geom.num_chunks,),
         in_specs=[
-            pl.BlockSpec((rank, chunk), lambda i, *r: (0, i),
+            pl.BlockSpec((2 * rank, chunk), lambda i, *r: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1,) * rank + (batch2,) + geom.ext, tile_map,
                          memory_space=pltpu.VMEM),
@@ -116,5 +127,5 @@ def interp_pallas(fine: jax.Array, points_resc: jax.Array,
         out_shape=jax.ShapeDtypeStruct(
             (batch2, geom.num_chunks * chunk), jnp.float32),
         interpret=use_interpret(),
-    )(*binned.chunk_tidx, binned.coords, tiles)
-    return scatter_chunked(chunk_vals, binned).astype(fine.dtype)
+    )(*binned.chunk_tidx, binned.coords, tiles.astype(jnp.float32))
+    return scatter_chunked(chunk_vals, binned)

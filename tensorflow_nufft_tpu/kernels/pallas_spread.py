@@ -60,12 +60,15 @@ def supports(plan: NufftPlan) -> bool:
     return plan.rank in (1, 2, 3) and plan.spec.dtype_name == "complex64"
 
 
-def es_kernel_matrix(num_offsets: int, s: jax.Array, beta, c, half_width):
+def es_kernel_matrix(num_offsets: int, s_hi: jax.Array, s_lo: jax.Array,
+                     beta, c, half_width):
     """[C] window centers -> [C, E] matrix phi(e - s_m) over integer
-    offsets e in [0, E); exactly zero outside |z| < half_width."""
+    offsets e in [0, E); exactly zero outside |z| < half_width. The
+    center is the two-float pair (s_hi, s_lo) so the kernel argument
+    keeps full coordinate precision (see fold_and_rescale_split)."""
     offsets = jax.lax.broadcasted_iota(
-        jnp.int32, (s.shape[0], num_offsets), 1).astype(jnp.float32)
-    z = offsets - s[:, None]
+        jnp.int32, (s_hi.shape[0], num_offsets), 1).astype(jnp.float32)
+    z = (offsets - s_hi[:, None]) - s_lo[:, None]
     inside = jnp.abs(z) < half_width
     arg = jnp.where(inside, 1.0 - c * z * z, 0.0)
     return jnp.where(inside, jnp.exp(beta * jnp.sqrt(arg)), 0.0)
@@ -74,13 +77,15 @@ def es_kernel_matrix(num_offsets: int, s: jax.Array, beta, c, half_width):
 def _kernel_matrices(coords_ref, tidx_refs, i, geom: TileGeometry,
                      beta, c, half_width):
     """Per-axis windowed kernel matrices for the current chunk."""
+    rank = geom.rank
     mats = []
-    for d in range(geom.rank):
+    for d in range(rank):
         origin = (tidx_refs[d][i] * geom.tile[d] - geom.pad).astype(
             jnp.float32)
-        s = coords_ref[d, :] - origin
+        s_hi = coords_ref[d, :] - origin
+        s_lo = coords_ref[rank + d, :]
         mats.append(es_kernel_matrix(
-            geom.ext[d], s, beta, c, half_width))
+            geom.ext[d], s_hi, s_lo, beta, c, half_width))
     return mats
 
 
@@ -139,7 +144,7 @@ def _index_maps(geom: TileGeometry, batch2: int):
         return tuple(t[i] for t in tidx) + (0,) * (rank + 1)
 
     in_specs = [
-        pl.BlockSpec((rank, chunk), coords_map,
+        pl.BlockSpec((2 * rank, chunk), coords_map,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((batch2, chunk), strengths_map,
                      memory_space=pltpu.VMEM),
@@ -182,11 +187,19 @@ def _spread_tiles(strengths_chunked: jax.Array, binned: BinnedPoints,
       binned.coords, strengths_chunked)
 
 
-def spread_pallas(strengths: jax.Array, points_resc: jax.Array,
+def num_points_of(points_resc) -> int:
+    """M from a coords array or a two-float (hi, lo) pair."""
+    if isinstance(points_resc, tuple):
+        return points_resc[0].shape[0]
+    return points_resc.shape[0]
+
+
+def spread_pallas(strengths: jax.Array, points_resc,
                   plan: NufftPlan) -> jax.Array:
-    """[B2, M] real strengths + [M, rank] rescaled points ->
-    [B2, *fine_shape] fine grid. B2 is the folded batch*channel axis."""
-    m = points_resc.shape[0]
+    """[B2, M] real strengths + [M, rank] rescaled points (or (hi, lo)
+    pair) -> [B2, *fine_shape] fine grid. B2 is the folded batch*channel
+    axis."""
+    m = num_points_of(points_resc)
     geom = choose_geometry(plan.fine_shape, plan.width, m)
     binned = bin_points(points_resc, geom)
     chunked = gather_chunked(strengths, binned, geom)

@@ -58,6 +58,69 @@ def fold_and_rescale(points: jax.Array, fine_shape: Sequence[int],
     return s * (n / two_pi)
 
 
+def fold_and_rescale_split(points: jax.Array, fine_shape: Sequence[int],
+                           points_range: int
+                           ) -> Tuple[jax.Array, jax.Array]:
+    """Two-float (hi, lo) fold/rescale for float32 points.
+
+    A rescaled coordinate s in [0, nf) stored in one float32 carries an
+    absolute error of ~nf * 2^-25 grid units, which turns into a phase
+    error of ~k_max * 2pi * 2^-25 at the largest modes — 1e-5-scale for
+    256^2 grids, dominating the NUFFT error budget at tol 1e-6. This
+    returns s as an exact-compensated pair (s_hi + s_lo ~ 1e-12 grid
+    units of error) using Dekker/Veltkamp arithmetic. The corrections
+    are wrapped in ``optimization_barrier`` because XLA:TPU otherwise
+    reassociates them away (measured: compensation silently becomes 0).
+
+    Note pi * (nf / 2pi) == nf/2 exactly, so the +pi shift is the exact
+    integer nf/2 and only the product x * c needs compensation.
+    """
+    if points.dtype == jnp.float64:
+        s = fold_and_rescale(points, fine_shape, points_range)
+        return s, jnp.zeros_like(s)
+
+    bar = jax.lax.optimization_barrier
+    n64 = np.array(fine_shape, dtype=np.float64)
+    c64 = n64 / (2.0 * np.pi)
+    c_hi = c64.astype(np.float32)
+    c_lo = (c64 - c_hi.astype(np.float64)).astype(np.float32)
+    # Exact Veltkamp split of the per-dim c_hi constants (host, f32).
+    w = c_hi * np.float32(4097.0)
+    b1 = (w - (w - c_hi)).astype(np.float32)
+    b2 = (c_hi - b1).astype(np.float32)
+
+    x = points
+    n_f = jnp.asarray(n64, jnp.float32)
+    xw = x * jnp.float32(4097.0)
+    a_hi = bar(xw - bar(xw - x))
+    a_lo = bar(x - a_hi)
+    b1 = jnp.asarray(b1)
+    b2 = jnp.asarray(b2)
+    p = bar(x * jnp.asarray(c_hi))
+    err = bar(bar(bar(a_hi * b1 - p) + a_hi * b2) + a_lo * b1) \
+        + a_lo * b2 + x * jnp.asarray(c_lo)
+
+    pi = jnp.float32(np.pi)
+    half_n = jnp.asarray(n64 / 2.0, jnp.float32)
+    if points_range == STRICT:
+        offset = jnp.broadcast_to(half_n, x.shape)
+    elif points_range == EXTENDED:
+        offset = half_n - n_f * (x > pi) + n_f * (x < -pi)
+    elif points_range == INFINITE:
+        offset = jnp.broadcast_to(half_n, x.shape)
+    else:
+        raise ValueError(f"Invalid points_range: {points_range}")
+
+    s_hi = bar(p + offset)
+    err = err + bar(p - bar(s_hi - offset))
+    if points_range == INFINITE:
+        q = jnp.floor(s_hi / n_f)
+        s_hi = bar(s_hi - q * n_f)
+        s_hi = jnp.where(s_hi < 0, s_hi + n_f, s_hi)
+        s_hi = jnp.where(s_hi >= n_f, s_hi - n_f, s_hi)
+    return s_hi, err
+
+
 def es_kernel(z: jax.Array, beta: float, c: float,
               half_width: float) -> jax.Array:
     """"Exponential of semicircle" kernel phi(z) = exp(beta sqrt(1 - c z^2)).
@@ -72,12 +135,14 @@ def es_kernel(z: jax.Array, beta: float, c: float,
     return jnp.where(inside, val, 0.0)
 
 
-def spread_geometry(points_resc: jax.Array, plan: NufftPlan
+def spread_geometry(points_resc, plan: NufftPlan
                     ) -> Tuple[Tuple[jax.Array, ...], Tuple[jax.Array, ...]]:
     """Per-dimension spreading indices and kernel values.
 
     Args:
-        points_resc: [M, rank] coordinates in fine-grid units, in [0, nf).
+        points_resc: coordinates in fine-grid units, in [0, nf): either a
+            [M, rank] array or a two-float (hi, lo) pair of such arrays
+            (see ``fold_and_rescale_split``).
         plan: the static plan.
 
     Returns:
@@ -87,14 +152,22 @@ def spread_geometry(points_resc: jax.Array, plan: NufftPlan
         covered grid index is ceil(s - width/2), as in the reference
         spreader (nufft_plan.cc:1463-1636).
     """
+    if isinstance(points_resc, tuple):
+        points_hi, points_lo = points_resc
+    else:
+        points_hi, points_lo = points_resc, None
     width = plan.width
-    offsets = jnp.arange(width, dtype=points_resc.dtype)
+    offsets = jnp.arange(width, dtype=points_hi.dtype)
     indices = []
     kernels = []
     for d in range(plan.rank):
-        s = points_resc[:, d]
+        s = points_hi[:, d]
         i0 = jnp.ceil(s - plan.half_width)
+        # (i0 + j) - s is exact (nearby f32 magnitudes); the low word
+        # restores full coordinate precision.
         z = i0[:, None] + offsets[None, :] - s[:, None]      # [M, width]
+        if points_lo is not None:
+            z = z - points_lo[:, d][:, None]
         ker = es_kernel(z, plan.beta, plan.c, plan.half_width)
         idx = (i0.astype(jnp.int32)[:, None]
                + offsets.astype(jnp.int32)[None, :])

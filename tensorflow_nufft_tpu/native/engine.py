@@ -46,6 +46,7 @@ def _load():
     with _LOCK:
         lib = ctypes.CDLL(str(_build()))
     i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
     for suffix, fp in (("f32", ctypes.c_float), ("f64", ctypes.c_double)):
         fpp = ctypes.POINTER(fp)
         for op in ("spread", "interp"):
@@ -54,7 +55,7 @@ def _load():
             fn.argtypes = [
                 ctypes.c_int, i64p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int, ctypes.c_double, ctypes.c_int,
-                fpp, fpp, fpp,
+                f64p, fpp, fpp,       # points are always double
             ]
     lib.tfft_num_threads.restype = ctypes.c_int
     lib.tfft_num_threads.argtypes = []
@@ -96,13 +97,13 @@ def spread(strengths: np.ndarray, points_resc: np.ndarray,
     fn = lib.tfft_spread_f32 if real_dt == np.float32 \
         else lib.tfft_spread_f64
 
-    pts = np.ascontiguousarray(points_resc, dtype=real_dt)
+    pts = np.ascontiguousarray(points_resc, dtype=np.float64)
     s = _as_interleaved(strengths.reshape(batch, num_points), real_dt)
     fine = np.zeros((batch,) + tuple(fine_shape) + (2,), dtype=real_dt)
     dims = np.asarray(fine_shape, dtype=np.int64)
     fn(rank, dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
        num_points, batch, width, float(beta), num_threads,
-       _ptr(pts, fp), _ptr(s, fp), _ptr(fine, fp))
+       _ptr(pts, ctypes.c_double), _ptr(s, fp), _ptr(fine, fp))
     c_dt = np.complex64 if real_dt == np.float32 else np.complex128
     return fine.view(c_dt)[..., 0]
 
@@ -121,12 +122,12 @@ def interp(fine: np.ndarray, points_resc: np.ndarray, width: int,
     fn = lib.tfft_interp_f32 if real_dt == np.float32 \
         else lib.tfft_interp_f64
 
-    pts = np.ascontiguousarray(points_resc, dtype=real_dt)
+    pts = np.ascontiguousarray(points_resc, dtype=np.float64)
     f = _as_interleaved(fine, real_dt)
     vals = np.zeros((batch, num_points, 2), dtype=real_dt)
     dims = np.asarray(fine_shape, dtype=np.int64)
     fn(rank, dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
        num_points, batch, width, float(beta), num_threads,
-       _ptr(pts, fp), _ptr(f, fp), _ptr(vals, fp))
+       _ptr(pts, ctypes.c_double), _ptr(f, fp), _ptr(vals, fp))
     c_dt = np.complex64 if real_dt == np.float32 else np.complex128
     return vals.view(c_dt)[..., 0]

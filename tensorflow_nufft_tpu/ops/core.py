@@ -28,7 +28,7 @@ import numpy as np
 
 from tensorflow_nufft_tpu.fft.fft_ops import amplify, deconvolve, fft_fine
 from tensorflow_nufft_tpu.kernels import dispatch
-from tensorflow_nufft_tpu.kernels.xla_ops import fold_and_rescale
+from tensorflow_nufft_tpu.kernels.xla_ops import fold_and_rescale_split
 from tensorflow_nufft_tpu.plan.plan import NufftPlan, PlanSpec, make_plan
 
 
@@ -44,8 +44,8 @@ def _execute(source: jax.Array, points: jax.Array,
         [B, *grid_shape] (type-1) or [B, M] (type-2), complex.
     """
     spec = plan.spec
-    points_resc = fold_and_rescale(points, plan.fine_shape,
-                                   spec.points_range)
+    points_resc = fold_and_rescale_split(points, plan.fine_shape,
+                                         spec.points_range)
     if spec.transform_type == "type_1":
         fine = dispatch.spread(source, points_resc, plan)
         if spec.spread_only:

@@ -34,6 +34,11 @@ _COMPLEX_DTYPES = (np.dtype(np.complex64), np.dtype(np.complex128))
 
 
 def _validate_enum(value, valid, name):
+    if name == "transform_type" and value == "type_3":
+        # Parity with the reference, which enumerates type-3 but does not
+        # implement it (cc/kernels/nufft_plan.cc:175-177).
+        raise NotImplementedError(
+            "type-3 transforms are not implemented")
     if value not in valid:
         raise ValueError(
             f"Invalid {name}: {value!r}. Must be one of {sorted(valid)}.")

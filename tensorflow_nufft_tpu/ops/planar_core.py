@@ -25,10 +25,12 @@ import numpy as np
 
 from tensorflow_nufft_tpu.fft.planar_fft import (
     amplify_pad_dft,
+    amplify_pad_dft_tiled,
     dft_truncate_deconvolve,
+    dft_truncate_deconvolve_tiled,
 )
 from tensorflow_nufft_tpu.kernels import dispatch
-from tensorflow_nufft_tpu.kernels.xla_ops import fold_and_rescale
+from tensorflow_nufft_tpu.kernels.xla_ops import fold_and_rescale_split
 from tensorflow_nufft_tpu.ops.core import _mode_grid, _replace
 from tensorflow_nufft_tpu.plan.plan import PlanSpec, make_plan
 
@@ -51,9 +53,18 @@ def _execute_planar(source: jax.Array, points: jax.Array,
     (type-2); points: [M, rank]. Returns planar output."""
     spec = plan.spec
     batch = source.shape[0]
-    points_resc = fold_and_rescale(points, plan.fine_shape,
-                                   spec.points_range)
+    points_resc = fold_and_rescale_split(points, plan.fine_shape,
+                                         spec.points_range)
+    use_tiled = (not spec.spread_only
+                 and dispatch.pallas_active(plan, source.dtype))
     if spec.transform_type == "type_1":
+        if use_tiled:
+            # Spread to per-tile blocks; overlap-add + DFT + truncation
+            # + deconvolution all fused into one contraction.
+            tiles, geom = dispatch.spread_tiled(
+                _fold(source), points_resc, plan)
+            out = dft_truncate_deconvolve_tiled(tiles, plan, geom, batch)
+            return out.astype(source.dtype)
         fine = dispatch.spread(_fold(source), points_resc, plan)
         if spec.spread_only:
             scale = jnp.asarray(plan.kernel_scale, fine.dtype)
@@ -65,6 +76,15 @@ def _execute_planar(source: jax.Array, points: jax.Array,
         values = dispatch.interp(_fold(source), points_resc, plan)
         scale = jnp.asarray(plan.kernel_scale, values.dtype)
         return _unfold(values * scale, batch)
+    if use_tiled:
+        # Amplify + pad + DFT + halo windowing fused; interp consumes
+        # the tile blocks directly (fine grid never materializes).
+        from tensorflow_nufft_tpu.kernels import binning
+        geom = binning.choose_geometry(
+            plan.fine_shape, plan.width, points.shape[0])
+        tiles = amplify_pad_dft_tiled(source, plan, geom)
+        values = dispatch.interp_tiled(tiles, points_resc, plan, geom)
+        return _unfold(values, batch).astype(source.dtype)
     # Amplification + zero-padding + DFT in one fused contraction.
     grid = amplify_pad_dft(source, plan)
     values = dispatch.interp(_fold(grid), points_resc, plan)

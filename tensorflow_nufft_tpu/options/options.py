@@ -127,9 +127,12 @@ class Options(pydantic.BaseModel):
             bound fine-grid memory.
         points_range: A ``PointsRange``. Supported range of the nonuniform
             points. Defaults to EXTENDED.
-        backend: TPU extension. One of 'auto', 'xla', 'pallas'. Selects the
-            spread/interp kernel implementation; 'auto' picks the fastest
-            available for the device and problem.
+        backend: TPU extension. One of 'auto', 'xla', 'pallas', 'native'.
+            Selects the spread/interp kernel implementation; 'auto' picks
+            the fastest available for the device and problem. 'native'
+            runs the C++/OpenMP host engine via a host callback (CPU
+            only; forward pass under jit, gradients via the NUFFT-level
+            custom VJP).
         upsampling_factor: TPU extension. Optional override of the fine-grid
             oversampling factor sigma (> 1.0); None selects automatically.
     """
@@ -153,9 +156,10 @@ class Options(pydantic.BaseModel):
     @pydantic.field_validator("backend")
     @classmethod
     def _check_backend(cls, v):
-        if v not in ("auto", "xla", "pallas"):
+        if v not in ("auto", "xla", "pallas", "native"):
             raise ValueError(
-                f"backend must be one of 'auto', 'xla', 'pallas', got {v!r}")
+                f"backend must be one of 'auto', 'xla', 'pallas', "
+                f"'native', got {v!r}")
         return v
 
     @pydantic.field_validator("upsampling_factor")

@@ -174,6 +174,14 @@ class TestErrors:
         src = random_complex(rng, (4, 4), np.complex64)
         pts = random_points(rng, (5, 2), np.float32)
         with pytest.raises(ValueError, match="transform_type"):
+            tfft.nufft(src, pts, transform_type="type_4")
+
+    def test_type3_unimplemented(self, rng):
+        # Parity: the reference enumerates type-3 but raises
+        # Unimplemented (cc/kernels/nufft_plan.cc:175-177).
+        src = random_complex(rng, (4, 4), np.complex64)
+        pts = random_points(rng, (5, 2), np.float32)
+        with pytest.raises(NotImplementedError, match="type-3"):
             tfft.nufft(src, pts, transform_type="type_3")
 
     def test_bad_dtype(self, rng):
