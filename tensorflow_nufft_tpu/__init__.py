@@ -15,6 +15,7 @@ Typical usage::
 from tensorflow_nufft_tpu.__about__ import __version__
 from tensorflow_nufft_tpu.ops.nufft_ops import nufft, interp, spread, nudft
 from tensorflow_nufft_tpu import planar
+from tensorflow_nufft_tpu import parallel
 from tensorflow_nufft_tpu.options.options import (
     Options,
     DebuggingOptions,

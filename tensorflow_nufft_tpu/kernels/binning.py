@@ -136,11 +136,76 @@ def choose_geometry(fine_shape: Sequence[int], width: int,
 
 class BinnedPoints(NamedTuple):
     """Tile-ordered, chunk-padded point metadata (a pytree)."""
-    coords: jax.Array       # [2*rank, NC*chunk]: hi rows then lo rows
-    inv: jax.Array          # [num_chunks * chunk] original index (M=pad)
+    points_hi: jax.Array    # [M, rank] coordinate high words
+    points_lo: jax.Array    # [M, rank] coordinate low words
     padpos: jax.Array       # [M] slot of each point in the padded stream
     chunk_tidx: Tuple[jax.Array, ...]  # per-axis tile index per chunk
     chunk_first: jax.Array  # [num_chunks] 1 if first chunk of its tile
+    tile_bounds: jax.Array  # [num_tiles + 1] chunk range of each tile:
+    #                         tile t owns chunks [b[t], b[t+1])
+
+
+# Segment size for the tile-rank computation (see bin_points): cost is
+# ~SEGMENT bytes of traffic per point.
+_SEGMENT = 128
+
+
+def _ranks_and_starts(tid: jax.Array, num_tiles: int, chunk: int):
+    """Stable rank of each point within its tile and the per-point chunk
+    base slot, without sorting and without per-element gathers.
+
+    Points are cut into segments of _SEGMENT; within a segment the rank
+    comes from a strict-lower-triangular equality count (a [G, S, S]
+    elementwise reduce), and across segments from per-(segment, tile)
+    count prefix sums. All tid-indexed table lookups are expressed as
+    one-hot matmuls on the MXU — per-element gathers from small tables
+    are surprisingly expensive on TPU (~0.3 ms per 65k lookups),
+    matmuls are microseconds. Counts stay < 2^24 so float32 matmul
+    arithmetic is exact.
+
+    Returns (rank [M] int32, counts [T] int32, chunk_base [M] int32)
+    where chunk_base = chunk_starts[tid] * chunk.
+    """
+    m = tid.shape[0]
+    s = _SEGMENT
+    g = -(-m // s)
+    pad = g * s - m
+    # Padded entries get the virtual tile `num_tiles` (dropped later).
+    tid_p = jnp.concatenate(
+        [tid, jnp.full((pad,), num_tiles, tid.dtype)]) if pad else tid
+    tid3 = tid_p.reshape(g, s)
+
+    # Within-segment rank: strict lower-triangular equality count.
+    eq = (tid3[:, :, None] == tid3[:, None, :])
+    lower = (jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+             < jax.lax.broadcasted_iota(jnp.int32, (s, s), 1))
+    rank_in_seg = jnp.sum(
+        (eq & lower[None]).astype(jnp.int32), axis=1)        # [G, S]
+
+    onehot = (tid3[:, :, None] ==
+              jnp.arange(num_tiles + 1, dtype=tid.dtype)[None, None, :]
+              ).astype(jnp.float32)                          # [G, S, T+1]
+    seg_counts = jnp.sum(onehot, axis=1)                     # [G, T+1]
+    cum = jax.lax.associative_scan(jnp.add, seg_counts, axis=0)
+    seg_prefix = cum - seg_counts                            # exclusive
+    counts_f = cum[-1]
+
+    # Tables looked up by tid, via one-hot multiply-reduce on the VPU
+    # (f32 is exact here: every value < 2^24). Per-element gathers from
+    # small tables are ~0.3 ms per 65k lookups on TPU; this is
+    # microseconds.
+    rounds = jnp.maximum(jnp.ceil(counts_f / chunk), 1.0)
+    chunk_starts_f = jnp.cumsum(rounds) - rounds             # [T+1]
+    prefix_of_point = jnp.sum(onehot * seg_prefix[:, None, :], axis=2)
+    chunk_base = jnp.sum(
+        onehot * (chunk_starts_f * chunk)[None, None, :], axis=2)
+
+    rank = (rank_in_seg
+            + prefix_of_point.astype(jnp.int32)).reshape(g * s)[:m]
+    chunk_base = chunk_base.astype(jnp.int32).reshape(g * s)[:m]
+    counts = counts_f.astype(jnp.int32)[:num_tiles]
+    chunk_starts = chunk_starts_f.astype(jnp.int32)[:num_tiles]
+    return rank, counts, chunk_base, chunk_starts
 
 
 def bin_points(points_resc, geom: TileGeometry) -> BinnedPoints:
@@ -178,35 +243,12 @@ def bin_points(points_resc, geom: TileGeometry) -> BinnedPoints:
     for d in range(1, rank):
         tid = tid * tiles[d] + tidx[d]
 
-    # Rank of each point within its tile via one-hot prefix sum (no
-    # comparison sort); associative_scan gives the log-depth lowering.
-    onehot = (tid[:, None] ==
-              jnp.arange(num_tiles, dtype=jnp.int32)[None, :]
-              ).astype(jnp.int32)
-    cum = jax.lax.associative_scan(jnp.add, onehot, axis=0)  # inclusive
-    rank_in_tile = jnp.take_along_axis(cum, tid[:, None], axis=1)[:, 0] - 1
-    counts = cum[-1]
-
-    # Every tile gets at least one chunk (so its output block is zeroed).
-    rounds = jnp.maximum((counts + chunk - 1) // chunk, 1)
-    chunk_starts = jnp.concatenate(
-        [jnp.zeros((1,), rounds.dtype), jnp.cumsum(rounds)[:-1]])
-
-    padpos = chunk_starts[tid].astype(jnp.int32) * chunk + rank_in_tile
-
-    # Inverse map: padded slot -> original point index (m = pad slot).
-    inv = jnp.full((num_chunks * chunk,), m, dtype=jnp.int32)
-    inv = inv.at[padpos].set(jnp.arange(m, dtype=jnp.int32))
-
-    coords_ext = jnp.concatenate([
-        jnp.concatenate(
-            [points_hi.T,
-             jnp.full((rank, 1), SENTINEL, points_hi.dtype)], axis=1),
-        jnp.concatenate(
-            [points_lo.T, jnp.zeros((rank, 1), points_lo.dtype)],
-            axis=1),
-    ], axis=0)                                           # [2r, M+1]
-    coords = coords_ext[:, inv]                          # gather
+    rank_in_tile, counts, chunk_base, chunk_starts = _ranks_and_starts(
+        tid, num_tiles, chunk)
+    # Materialize once: several scatters consume padpos, and XLA's
+    # scatter fusion would otherwise duplicate the whole ranking chain
+    # into each of them (measured as a 2-3x pipeline slowdown).
+    padpos = jax.lax.optimization_barrier(chunk_base + rank_in_tile)
 
     # Chunk -> tile mapping; chunks beyond the used range attach to the
     # last used tile (contiguous run, so no spurious re-initialization).
@@ -225,23 +267,67 @@ def bin_points(points_resc, geom: TileGeometry) -> BinnedPoints:
         rem = rem // tiles[d]
     chunk_tidx = tuple(reversed(chunk_tidx))
 
+    rounds_i = jnp.maximum((counts + chunk - 1) // chunk, 1)
+    tile_bounds = jnp.concatenate(
+        [chunk_starts,
+         (chunk_starts[-1] + rounds_i[-1])[None]]).astype(jnp.int32)
+
     return BinnedPoints(
-        coords=coords,
-        inv=inv,
+        points_hi=points_hi,
+        points_lo=points_lo,
         padpos=padpos,
         chunk_tidx=chunk_tidx,
         chunk_first=chunk_first,
+        tile_bounds=tile_bounds,
     )
 
 
-def gather_chunked(values: jax.Array, binned: BinnedPoints,
-                   geom: TileGeometry) -> jax.Array:
-    """[..., M] per-point values -> padded chunk stream [..., NC*chunk],
-    zero-filled in padded slots (pure gather)."""
-    del geom
-    pad_col = jnp.zeros(values.shape[:-1] + (1,), values.dtype)
-    ext = jnp.concatenate([values, pad_col], axis=-1)
-    return ext[..., binned.inv]
+def _pack_rows(rows, sentinel_rows: int, binned: BinnedPoints,
+               geom: TileGeometry) -> jax.Array:
+    """Packs per-point rows into the chunk-major [NC, R, chunk] layout.
+
+    R is padded to a multiple of 8 (DMA sublane alignment). Each row is
+    placed by one 1D scatter straight into the target layout (index
+    arithmetic instead of a transpose — the (R, NC*C) -> (NC, R, C)
+    transpose costs more than the whole spread kernel on TPU). Padded
+    slots keep SENTINEL in the first ``sentinel_rows`` rows, zero
+    elsewhere.
+    """
+    chunk = geom.chunk
+    nc = geom.num_chunks
+    r_pad = -(-len(rows) // 8) * 8
+    chunk_id = binned.padpos // chunk
+    base_idx = binned.padpos + chunk_id * ((r_pad - 1) * chunk)
+    pattern = np.zeros((r_pad,), np.float32)
+    pattern[:sentinel_rows] = SENTINEL
+    flat = jnp.broadcast_to(
+        jnp.asarray(pattern)[None, :, None],
+        (nc, r_pad, chunk)).reshape(nc * r_pad * chunk)
+    for ridx, vec in enumerate(rows):
+        flat = flat.at[base_idx + ridx * chunk].set(
+            vec.astype(jnp.float32), unique_indices=True)
+    return flat.reshape(nc, r_pad, chunk)
+
+
+def build_coords_payload(binned: BinnedPoints,
+                         geom: TileGeometry) -> jax.Array:
+    """[NC, 8*, chunk] coordinate payload: rows 0..rank-1 high words,
+    rank..2rank-1 low words. Depends only on the points, so in iterative
+    algorithms (CG recon, training loops) XLA hoists it out of the loop
+    — keep it separate from the per-iteration values payload."""
+    rank = geom.rank
+    rows = ([binned.points_hi[:, d] for d in range(rank)]
+            + [binned.points_lo[:, d] for d in range(rank)])
+    return _pack_rows(rows, rank, binned, geom)
+
+
+def build_values_payload(values: jax.Array, binned: BinnedPoints,
+                         geom: TileGeometry) -> jax.Array:
+    """[NC, 8*, chunk] per-point values payload (e.g. folded planar
+    strengths [B2, M]); zero in padded slots."""
+    rows = [values[b].astype(jnp.float32)
+            for b in range(values.shape[0])]
+    return _pack_rows(rows, 0, binned, geom)
 
 
 def scatter_chunked(values: jax.Array, binned: BinnedPoints

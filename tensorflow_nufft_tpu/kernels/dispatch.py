@@ -165,14 +165,9 @@ def spread_tiled(strengths: jax.Array, points_resc,
                  plan: NufftPlan):
     """Pallas spread returning per-tile extended blocks (no overlap-add):
     -> (tiles [*tiles, B2, *ext], geom). Pallas-only entry point."""
-    from tensorflow_nufft_tpu.kernels import binning, pallas_spread
-    m = pallas_spread.num_points_of(points_resc)
-    geom = binning.choose_geometry(plan.fine_shape, plan.width, m)
-    binned = binning.bin_points(points_resc, geom)
-    chunked = binning.gather_chunked(strengths, binned, geom)
-    tiles = pallas_spread._spread_tiles(
-        chunked.astype(jnp.float32), binned, geom, plan)
-    return tiles, geom
+    from tensorflow_nufft_tpu.kernels import pallas_spread
+    return pallas_spread.spread_pallas_tiles(
+        strengths.astype(jnp.float32), points_resc, plan)
 
 
 def interp_tiled(tiles: jax.Array, points_resc: jax.Array,

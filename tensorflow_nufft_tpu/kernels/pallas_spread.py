@@ -5,23 +5,26 @@ Replaces the reference's atomics-based CUDA spreading
 nufft_plan.cc:1463-1734) with a design built for the TPU's strengths:
 
   1. Points are grouped by fine-grid tile (XLA preprocessing, binning.py,
-     no comparison sort).
-  2. The kernel walks chunks of tile-grouped points sequentially (TPU
-     Pallas grids are sequential). Each chunk belongs to exactly one
-     tile; the tile's *extended* (halo-padded) block stays resident in
-     VMEM across all of that tile's chunks — the output BlockSpec index
-     is data-dependent via scalar prefetch.
+     no comparison sort) into fixed-size chunks with a static,
+     distribution-independent bound.
+  2. The grid is *static over tiles* — one program per tile owns that
+     tile's halo-padded output block exclusively. Each program walks its
+     own chunk range (scalar-prefetched bounds) with double-buffered
+     manual DMA from HBM, so point data streaming overlaps compute.
+     (An earlier design used one program per chunk with data-dependent
+     output block indices; the dynamic-index revisit machinery cost
+     ~24 us of fixed overhead per program and dominated the kernel.)
   3. Per chunk, the separable ES kernel is evaluated densely into
-     windowed kernel matrices A_d[m, e] = phi(e - s_m^d) per axis. The
-     scatter becomes matmuls:
-         tile += A_y^T @ (strength ⊙ A_x)            (2D;
-     1D is a masked reduce, 3D loops z-planes of the same matmul) —
-     MXU work, no atomics, no per-point control flow.
-  4. Halos are merged by a deterministic XLA overlap-add (binning.py).
+     windowed kernel matrices A_d[m, e] = phi(e - s_m^d). The scatter
+     becomes matmuls: tile += A_y^T @ (strength * A_x) (2D; 1D is a
+     masked reduce, 3D loops z-planes of the same matmul) — MXU work,
+     no atomics, no per-point control flow.
+  4. Halos are merged by a deterministic overlap-add, fused into the
+     downstream mode-DFT contraction (fft/planar_fft.py).
 
 Padded chunk slots carry a far-away sentinel coordinate, making their
 kernel weights exactly zero — correctness does not depend on masks or on
-the point distribution (the chunk-count bound is static).
+the point distribution.
 """
 
 from __future__ import annotations
@@ -38,8 +41,9 @@ from tensorflow_nufft_tpu.kernels.binning import (
     BinnedPoints,
     TileGeometry,
     bin_points,
+    build_coords_payload,
+    build_values_payload,
     choose_geometry,
-    gather_chunked,
     overlap_add,
 )
 from tensorflow_nufft_tpu.plan.plan import NufftPlan
@@ -60,6 +64,13 @@ def supports(plan: NufftPlan) -> bool:
     return plan.rank in (1, 2, 3) and plan.spec.dtype_name == "complex64"
 
 
+def num_points_of(points_resc) -> int:
+    """M from a coords array or a two-float (hi, lo) pair."""
+    if isinstance(points_resc, tuple):
+        return points_resc[0].shape[0]
+    return points_resc.shape[0]
+
+
 def es_kernel_matrix(num_offsets: int, s_hi: jax.Array, s_lo: jax.Array,
                      beta, c, half_width):
     """[C] window centers -> [C, E] matrix phi(e - s_m) over integer
@@ -74,39 +85,32 @@ def es_kernel_matrix(num_offsets: int, s_hi: jax.Array, s_lo: jax.Array,
     return jnp.where(inside, jnp.exp(beta * jnp.sqrt(arg)), 0.0)
 
 
-def _kernel_matrices(coords_ref, tidx_refs, i, geom: TileGeometry,
-                     beta, c, half_width):
-    """Per-axis windowed kernel matrices for the current chunk."""
+def kernel_matrices_from(data, origins, geom: TileGeometry, beta, c,
+                         half_width):
+    """Per-axis [C, E_d] kernel matrices from a payload chunk.
+
+    data: [R, C] chunk (rows 0..rank-1 hi words, rank..2rank-1 lo).
+    origins: per-axis extended-tile origin (tile_idx * tile - pad).
+    """
     rank = geom.rank
     mats = []
     for d in range(rank):
-        origin = (tidx_refs[d][i] * geom.tile[d] - geom.pad).astype(
-            jnp.float32)
-        s_hi = coords_ref[d, :] - origin
-        s_lo = coords_ref[rank + d, :]
+        s_hi = data[d, :] - origins[d]
+        s_lo = data[rank + d, :]
         mats.append(es_kernel_matrix(
             geom.ext[d], s_hi, s_lo, beta, c, half_width))
     return mats
 
 
-def _spread_kernel(*refs, geom: TileGeometry, beta, c, half_width,
-                   batch2):
+def accumulate_spread(tile_ref, mats, data, geom: TileGeometry,
+                      batch2: int, rank_offset: int):
+    """Adds one chunk's contribution into the output tile block.
+
+    data rows [rank_offset + b] are the per-channel strengths.
+    """
     rank = geom.rank
-    tidx_refs = refs[:rank]
-    first_ref = refs[rank]
-    coords_ref, strengths_ref = refs[rank + 1], refs[rank + 2]
-    tile_ref = refs[rank + 3]
-    i = pl.program_id(0)
-
-    mats = _kernel_matrices(coords_ref, tidx_refs, i, geom, beta, c,
-                            half_width)
-
-    @pl.when(first_ref[i] == 1)
-    def _():
-        tile_ref[...] = jnp.zeros_like(tile_ref)
-
     for b in range(batch2):             # static unroll over channels
-        s_b = strengths_ref[b, :][:, None]
+        s_b = data[rank_offset + b, :][:, None]
         if rank == 1:
             contrib = jnp.sum(mats[0] * s_b, axis=0)
             tile_ref[0, b, :] += contrib
@@ -128,80 +132,110 @@ def _spread_kernel(*refs, geom: TileGeometry, beta, c, half_width,
                 tile_ref[0, 0, 0, b, ez] += contrib
 
 
-def _index_maps(geom: TileGeometry, batch2: int):
-    """(in_specs, out_spec) with data-dependent tile indexing."""
-    rank = geom.rank
-    chunk = geom.chunk
-
-    def coords_map(i, *refs):
-        return (0, i)
-
-    def strengths_map(i, *refs):
-        return (0, i)
-
-    def out_map(i, *refs):
-        tidx = refs[:rank]
-        return tuple(t[i] for t in tidx) + (0,) * (rank + 1)
-
-    in_specs = [
-        pl.BlockSpec((2 * rank, chunk), coords_map,
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((batch2, chunk), strengths_map,
-                     memory_space=pltpu.VMEM),
+def _tile_origins(geom: TileGeometry):
+    """Per-axis extended-tile origins for the current program."""
+    return [
+        (pl.program_id(d) * geom.tile[d] - geom.pad).astype(jnp.float32)
+        for d in range(geom.rank)
     ]
-    out_spec = pl.BlockSpec(
-        (1,) * rank + (batch2,) + geom.ext, out_map,
-        memory_space=pltpu.VMEM)
-    return in_specs, out_spec
 
 
-def _spread_tiles(strengths_chunked: jax.Array, binned: BinnedPoints,
-                  geom: TileGeometry, plan: NufftPlan) -> jax.Array:
-    """[B2, NC*chunk] chunked strengths ->
-    [*tiles, B2, *ext] extended tile blocks."""
-    batch2 = strengths_chunked.shape[0]
+def _linear_tile_id(geom: TileGeometry):
+    t = pl.program_id(0)
+    for d in range(1, geom.rank):
+        t = t * geom.tiles[d] + pl.program_id(d)
+    return t
+
+
+def _spread_kernel(bounds_ref, coords_hbm, values_hbm, tile_ref,
+                   c_scratch, v_scratch, sems,
+                   *, geom: TileGeometry, beta, c, half_width, batch2):
+    t = _linear_tile_id(geom)
+    start = bounds_ref[t]
+    end = bounds_ref[t + 1]
+    origins = _tile_origins(geom)
+
+    tile_ref[...] = jnp.zeros_like(tile_ref)
+
+    def chunk_dmas(slot, k):
+        return (
+            pltpu.make_async_copy(coords_hbm.at[k], c_scratch.at[slot],
+                                  sems.at[slot, 0]),
+            pltpu.make_async_copy(values_hbm.at[k], v_scratch.at[slot],
+                                  sems.at[slot, 1]),
+        )
+
+    @pl.when(start < end)
+    def _():
+        for dma in chunk_dmas(0, start):
+            dma.start()
+
+    def body(k, _):
+        d = k - start
+        slot = jax.lax.rem(d, jnp.asarray(2, d.dtype))
+
+        @pl.when(k + 1 < end)
+        def _():
+            for dma in chunk_dmas(1 - slot, k + 1):
+                dma.start()
+
+        for dma in chunk_dmas(slot, k):
+            dma.wait()
+        mats = kernel_matrices_from(c_scratch[slot], origins, geom,
+                                    beta, c, half_width)
+        accumulate_spread(tile_ref, mats, v_scratch[slot], geom,
+                          batch2, 0)
+        return 0
+
+    jax.lax.fori_loop(start, end, body, 0)
+
+
+def spread_pallas_tiles(strengths: jax.Array, points_resc,
+                        plan: NufftPlan):
+    """[B2, M] real strengths + rescaled points (or (hi, lo) pair) ->
+    ([*tiles, B2, *ext] extended tile blocks, geom)."""
+    m = num_points_of(points_resc)
+    batch2 = strengths.shape[0]
+    geom = choose_geometry(plan.fine_shape, plan.width, m)
     rank = geom.rank
+    binned = bin_points(points_resc, geom)
+    coords_pl = build_coords_payload(binned, geom)
+    values_pl = build_values_payload(strengths, binned, geom)
 
     kernel = functools.partial(
-        _spread_kernel,
-        geom=geom,
+        _spread_kernel, geom=geom,
         beta=np.float32(plan.beta), c=np.float32(plan.c),
-        half_width=np.float32(plan.half_width),
-        batch2=batch2)
+        half_width=np.float32(plan.half_width), batch2=batch2)
 
-    in_specs, out_spec = _index_maps(geom, batch2)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=rank + 1,       # tile indices + first flag
-        grid=(geom.num_chunks,),
-        in_specs=in_specs,
-        out_specs=out_spec,
+        num_scalar_prefetch=1,                   # tile chunk bounds
+        grid=geom.tiles,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1,) * rank + (batch2,) + geom.ext,
+            lambda *ids: tuple(ids[:len(geom.tiles)]) + (0,) * (rank + 1),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2,) + coords_pl.shape[1:], jnp.float32),
+            pltpu.VMEM((2,) + values_pl.shape[1:], jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
     )
-    out_shape = jax.ShapeDtypeStruct(
-        geom.tiles + (batch2,) + geom.ext, jnp.float32)
-    return pl.pallas_call(
+    tiles = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=out_shape,
+        out_shape=jax.ShapeDtypeStruct(
+            geom.tiles + (batch2,) + geom.ext, jnp.float32),
         interpret=use_interpret(),
-    )(*binned.chunk_tidx, binned.chunk_first,
-      binned.coords, strengths_chunked)
-
-
-def num_points_of(points_resc) -> int:
-    """M from a coords array or a two-float (hi, lo) pair."""
-    if isinstance(points_resc, tuple):
-        return points_resc[0].shape[0]
-    return points_resc.shape[0]
+    )(binned.tile_bounds, coords_pl, values_pl)
+    return tiles, geom
 
 
 def spread_pallas(strengths: jax.Array, points_resc,
                   plan: NufftPlan) -> jax.Array:
     """[B2, M] real strengths + [M, rank] rescaled points (or (hi, lo)
-    pair) -> [B2, *fine_shape] fine grid. B2 is the folded batch*channel
-    axis."""
-    m = num_points_of(points_resc)
-    geom = choose_geometry(plan.fine_shape, plan.width, m)
-    binned = bin_points(points_resc, geom)
-    chunked = gather_chunked(strengths, binned, geom)
-    tiles = _spread_tiles(chunked.astype(jnp.float32), binned, geom, plan)
+    pair) -> [B2, *fine_shape] fine grid."""
+    tiles, geom = spread_pallas_tiles(
+        strengths.astype(jnp.float32), points_resc, plan)
     return overlap_add(tiles, geom).astype(strengths.dtype)
