@@ -120,10 +120,25 @@ def interp_pallas_tiled(tiles: jax.Array, points_resc,
     """[*tiles, B2, *ext] extended blocks + rescaled points ->
     [B2, M]. The halo windowing is the caller's (fused into the upstream
     contraction by amplify_pad_dft_tiled, or done by extend_tiles)."""
+    from tensorflow_nufft_tpu.kernels.pallas_spread import MAX_CHANNELS
     rank = geom.rank
     batch2 = tiles.shape[rank]
     binned = bin_points(points_resc, geom)
     payload = build_coords_payload(binned, geom)
+    if batch2 > MAX_CHANNELS:
+        groups = []
+        for i in range(0, batch2, MAX_CHANNELS):
+            sl = (slice(None),) * rank + (slice(i, i + MAX_CHANNELS),)
+            groups.append(_interp_group(tiles[sl], binned, payload,
+                                        plan, geom))
+        return jnp.concatenate(groups, axis=0)
+    return _interp_group(tiles, binned, payload, plan, geom)
+
+
+def _interp_group(tiles, binned, payload, plan: NufftPlan,
+                  geom: TileGeometry) -> jax.Array:
+    rank = geom.rank
+    batch2 = tiles.shape[rank]
 
     kernel = functools.partial(
         _interp_kernel, geom=geom,

@@ -38,7 +38,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tensorflow_nufft_tpu.kernels.binning import (
-    BinnedPoints,
     TileGeometry,
     bin_points,
     build_coords_payload,
@@ -49,6 +48,11 @@ from tensorflow_nufft_tpu.kernels.binning import (
 from tensorflow_nufft_tpu.plan.plan import NufftPlan
 
 _MXU_PRECISION = jax.lax.Precision.HIGHEST
+
+# Channels (folded batch*re/im) per pallas_call: the per-channel compute
+# is statically unrolled in the kernels and large batches blow up the
+# Mosaic compile (and VMEM); bigger batches run as grouped calls.
+MAX_CHANNELS = 8
 
 
 def use_interpret() -> bool:
@@ -200,6 +204,23 @@ def spread_pallas_tiles(strengths: jax.Array, points_resc,
     rank = geom.rank
     binned = bin_points(points_resc, geom)
     coords_pl = build_coords_payload(binned, geom)
+
+    if batch2 > MAX_CHANNELS:
+        groups = []
+        for i in range(0, batch2, MAX_CHANNELS):
+            g_tiles, _ = _spread_group(
+                strengths[i:i + MAX_CHANNELS], binned, coords_pl, geom,
+                plan)
+            groups.append(g_tiles)
+        return jnp.concatenate(groups, axis=rank), geom
+    tiles, _ = _spread_group(strengths, binned, coords_pl, geom, plan)
+    return tiles, geom
+
+
+def _spread_group(strengths, binned, coords_pl, geom: TileGeometry,
+                  plan: NufftPlan):
+    batch2 = strengths.shape[0]
+    rank = geom.rank
     values_pl = build_values_payload(strengths, binned, geom)
 
     kernel = functools.partial(

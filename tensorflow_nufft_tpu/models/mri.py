@@ -12,7 +12,6 @@ channel (see ``tensorflow_nufft_tpu.planar``).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

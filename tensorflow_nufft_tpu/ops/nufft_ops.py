@@ -14,7 +14,7 @@ plan execution, the rest are "outer" dims mapped via ``vmap``.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

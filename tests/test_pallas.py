@@ -110,12 +110,19 @@ def test_pallas_matches_xla(rng, grid_shape, m, transform_type):
     assert _relerr(b, a) < 1e-4
 
 
-def test_pallas_batched(rng):
+@pytest.mark.parametrize("batch", [3, 16])   # 16 -> 32 channels, grouped
+@pytest.mark.parametrize("transform_type", ["type_1", "type_2"])
+def test_pallas_batched(rng, batch, transform_type):
     grid_shape = (32, 32)
     m = 300
     pts = _adversarial_points(rng, m, 2)
-    src = to_planar(random_complex(rng, (3, m), np.complex64))
-    kw = dict(grid_shape=grid_shape, transform_type="type_1")
+    if transform_type == "type_1":
+        src = to_planar(random_complex(rng, (batch, m), np.complex64))
+        kw = dict(grid_shape=grid_shape, transform_type="type_1")
+    else:
+        src = to_planar(random_complex(rng, (batch,) + grid_shape,
+                                       np.complex64))
+        kw = dict(transform_type="type_2")
     a = tfft.planar.nufft(src, pts, options=tfft.Options(backend="xla"),
                           **kw)
     b = tfft.planar.nufft(src, pts,
