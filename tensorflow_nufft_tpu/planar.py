@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -240,27 +241,32 @@ def nudft(source,
                       axis=0).reshape(rank, -1)
     k_grid = jnp.asarray(k_grid, dtype=points.dtype)
 
+    # Oracle accuracy trumps speed: TPU matmuls default to bf16, and a
+    # ~0.4% relative error on phases of magnitude ~N*pi/2 destroys the
+    # oracle entirely. Force full-f32 (HIGHEST) arithmetic throughout.
+    hi = jax.lax.Precision.HIGHEST
+
     def core(src, pts, _spec=None):
-        theta = pts @ k_grid                     # [M, N]
+        theta = jnp.matmul(pts, k_grid, precision=hi)   # [M, N]
         cos = jnp.cos(theta)
         sin = sign * jnp.sin(theta)
         if transform_type == "type_1":
             sr = src[..., 0]                     # [B, M]
             si = src[..., 1]
             # y_k = sum_m (sr + i si)(cos + i sin)
-            yr = jnp.einsum("bm,mn->bn", sr, cos) - \
-                jnp.einsum("bm,mn->bn", si, sin)
-            yi = jnp.einsum("bm,mn->bn", sr, sin) + \
-                jnp.einsum("bm,mn->bn", si, cos)
+            yr = jnp.einsum("bm,mn->bn", sr, cos, precision=hi) - \
+                jnp.einsum("bm,mn->bn", si, sin, precision=hi)
+            yi = jnp.einsum("bm,mn->bn", sr, sin, precision=hi) + \
+                jnp.einsum("bm,mn->bn", si, cos, precision=hi)
             out = jnp.stack([yr, yi], axis=-1)
             return out.reshape((src.shape[0],) + grid_shape + (2,))
         flat = src.reshape(src.shape[0], -1, 2)  # [B, N, 2]
         sr = flat[..., 0]
         si = flat[..., 1]
-        yr = jnp.einsum("bn,mn->bm", sr, cos) - \
-            jnp.einsum("bn,mn->bm", si, sin)
-        yi = jnp.einsum("bn,mn->bm", sr, sin) + \
-            jnp.einsum("bn,mn->bm", si, cos)
+        yr = jnp.einsum("bn,mn->bm", sr, cos, precision=hi) - \
+            jnp.einsum("bn,mn->bm", si, sin, precision=hi)
+        yi = jnp.einsum("bn,mn->bm", sr, sin, precision=hi) + \
+            jnp.einsum("bn,mn->bm", si, cos, precision=hi)
         return jnp.stack([yr, yi], axis=-1)
 
     return _apply_batched(core, source, points, None, elem_rank,
