@@ -134,6 +134,15 @@ def choose_geometry(fine_shape: Sequence[int], width: int,
     return TileGeometry(fine_shape, tile, pad, chunk, num_chunks)
 
 
+def ranking_is_exact(geom: TileGeometry) -> bool:
+    """Whether the one-hot f32 ranking arithmetic in ``bin_points`` is
+    exact for this geometry. Slot indices reach ``num_chunks * chunk``;
+    float32 integer arithmetic is exact only below 2**24, beyond which
+    points would silently land in wrong slots. Callers must fall back to
+    the XLA path (or raise) when this is False."""
+    return geom.num_chunks * geom.chunk < 2 ** 24
+
+
 class BinnedPoints(NamedTuple):
     """Tile-ordered, chunk-padded point metadata (a pytree)."""
     points_hi: jax.Array    # [M, rank] coordinate high words
@@ -221,6 +230,12 @@ def bin_points(points_resc, geom: TileGeometry) -> BinnedPoints:
     Returns:
         BinnedPoints with static shapes independent of the distribution.
     """
+    if not ranking_is_exact(geom):
+        raise ValueError(
+            f"Point set too large for the Pallas binning path: slot "
+            f"indices reach {geom.num_chunks * geom.chunk} >= 2**24, "
+            f"beyond float32 integer exactness. Use the XLA backend "
+            f"(Options(backend='xla')) or split the point set.")
     if isinstance(points_resc, tuple):
         points_hi, points_lo = points_resc
     else:

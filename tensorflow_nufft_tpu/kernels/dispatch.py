@@ -18,7 +18,7 @@ from tensorflow_nufft_tpu.kernels import xla_ops
 from tensorflow_nufft_tpu.plan.plan import NufftPlan
 
 
-def pallas_active(plan: NufftPlan, dtype) -> bool:
+def pallas_active(plan: NufftPlan, dtype, num_points=None) -> bool:
     """Whether the Pallas path serves this plan for real data of
     ``dtype`` (the Pallas kernels are planar/real-only)."""
     if plan.spec.backend == "xla":
@@ -30,6 +30,14 @@ def pallas_active(plan: NufftPlan, dtype) -> bool:
     except ImportError:
         return False
     if plan.spec.backend == "pallas":
+        # Forced: still require a supported config — silently degrading
+        # (e.g. casting f64 planar data to f32) would destroy accuracy.
+        if not ps.supports(plan):
+            raise ValueError(
+                f"backend='pallas' requires complex64/planar-float32 "
+                f"data and rank in (1, 2, 3); got "
+                f"dtype_name={plan.spec.dtype_name!r}, rank={plan.rank}. "
+                f"Use backend='xla' (or 'auto') instead.")
         return True
     # auto: only on TPU, f32 planar, supported config; spread-only ops
     # stay on XLA so they remain differentiable through the kernel.
@@ -41,7 +49,17 @@ def pallas_active(plan: NufftPlan, dtype) -> bool:
         return False
     if plan.spec.dtype_name != "complex64":
         return False
-    return ps.supports(plan)
+    if not ps.supports(plan):
+        return False
+    if num_points is not None:
+        # Fall back to XLA when the f32 slot arithmetic in the binning
+        # pass would lose integer exactness (>= 2**24 slots).
+        from tensorflow_nufft_tpu.kernels import binning
+        geom = binning.choose_geometry(plan.fine_shape, plan.width,
+                                       int(num_points))
+        if not binning.ranking_is_exact(geom):
+            return False
+    return True
 
 
 def _native_requested(plan: NufftPlan) -> bool:
@@ -55,6 +73,12 @@ def _points_pair(points_resc):
     if isinstance(points_resc, tuple):
         return points_resc
     return points_resc, jnp.zeros_like(points_resc)
+
+
+def _num_points(points_resc) -> int:
+    if isinstance(points_resc, tuple):
+        return int(points_resc[0].shape[0])
+    return int(points_resc.shape[0])
 
 
 def _host_points(hi, lo):
@@ -142,7 +166,7 @@ def spread(strengths: jax.Array, points_resc: jax.Array,
     """
     if _native_requested(plan):
         return _native_spread_callback(strengths, points_resc, plan)
-    if pallas_active(plan, strengths.dtype):
+    if pallas_active(plan, strengths.dtype, _num_points(points_resc)):
         from tensorflow_nufft_tpu.kernels import pallas_spread
         return pallas_spread.spread_pallas(strengths, points_resc, plan)
     indices, kernels = xla_ops.spread_geometry(points_resc, plan)
@@ -154,7 +178,7 @@ def interp(fine: jax.Array, points_resc: jax.Array,
     """[B, *fine_shape] grid + [M, rank] rescaled points -> [B, M]."""
     if _native_requested(plan):
         return _native_interp_callback(fine, points_resc, plan)
-    if pallas_active(plan, fine.dtype):
+    if pallas_active(plan, fine.dtype, _num_points(points_resc)):
         from tensorflow_nufft_tpu.kernels import pallas_interp
         return pallas_interp.interp_pallas(fine, points_resc, plan)
     indices, kernels = xla_ops.spread_geometry(points_resc, plan)

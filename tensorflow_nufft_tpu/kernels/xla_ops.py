@@ -114,8 +114,24 @@ def fold_and_rescale_split(points: jax.Array, fine_shape: Sequence[int],
     s_hi = bar(p + offset)
     err = err + bar(p - bar(s_hi - offset))
     if points_range == INFINITE:
+        # Compensated wrap: q*n_f can round (n_f is 5-smooth, not a power
+        # of two) and so can the subtraction; both residuals feed err so
+        # far-out-of-range points keep two-float coordinate precision.
         q = jnp.floor(s_hi / n_f)
-        s_hi = bar(s_hi - q * n_f)
+        t0 = s_hi - q * n_f
+        q = q + (t0 >= n_f) - (t0 < 0)     # land in [0, n_f) directly
+        qw = q * jnp.float32(4097.0)
+        q_hi = bar(qw - bar(qw - q))
+        q_lo = bar(q - q_hi)
+        prod = bar(q * n_f)
+        prod_err = bar(bar(q_hi * n_f - prod) + q_lo * n_f)
+        # Knuth TwoSum (branch-free; no magnitude precondition).
+        b_ = -prod
+        t = bar(s_hi + b_)
+        bb = bar(t - s_hi)
+        sub_err = bar(bar(s_hi - bar(t - bb)) + bar(b_ - bb))
+        s_hi = t
+        err = err + sub_err - prod_err
         s_hi = jnp.where(s_hi < 0, s_hi + n_f, s_hi)
         s_hi = jnp.where(s_hi >= n_f, s_hi - n_f, s_hi)
     return s_hi, err

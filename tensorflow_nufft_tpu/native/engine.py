@@ -12,8 +12,10 @@ from __future__ import annotations
 
 import ctypes
 import functools
+import hashlib
 import os
 import pathlib
+import platform
 import subprocess
 import threading
 
@@ -25,20 +27,32 @@ _SOURCE = _REPO_ROOT / "cc" / "nufft_cpu.cc"
 _BUILD_DIR = pathlib.Path(
     os.environ.get("TFFT_TPU_BUILD_DIR",
                    str(_REPO_ROOT / "build"))).resolve()
-_LIB_PATH = _BUILD_DIR / "libtfft_cpu.so"
+_CXX_FLAGS = ["-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+              "-std=c++17"]
+
+
+def _lib_path() -> pathlib.Path:
+    """Cache key = source content hash + host arch + flags: a binary
+    built with -march=native on another CPU (or from older source with a
+    newer mtime) must never be loaded — it could SIGILL or be stale."""
+    tag = hashlib.sha256(
+        _SOURCE.read_bytes()
+        + platform.machine().encode()
+        + platform.processor().encode()
+        + " ".join(_CXX_FLAGS).encode()).hexdigest()[:16]
+    return _BUILD_DIR / f"libtfft_cpu_{tag}.so"
 
 
 def _build() -> pathlib.Path:
     _BUILD_DIR.mkdir(parents=True, exist_ok=True)
-    if (_LIB_PATH.exists()
-            and _LIB_PATH.stat().st_mtime >= _SOURCE.stat().st_mtime):
-        return _LIB_PATH
-    cmd = [
-        "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-        "-std=c++17", str(_SOURCE), "-o", str(_LIB_PATH),
-    ]
+    lib_path = _lib_path()
+    if lib_path.exists():
+        return lib_path
+    tmp = lib_path.with_suffix(f".tmp{os.getpid()}")
+    cmd = ["g++", *_CXX_FLAGS, str(_SOURCE), "-o", str(tmp)]
     subprocess.run(cmd, check=True, capture_output=True)
-    return _LIB_PATH
+    os.replace(tmp, lib_path)
+    return lib_path
 
 
 @functools.lru_cache(maxsize=1)

@@ -29,7 +29,8 @@ import numpy as np
 from tensorflow_nufft_tpu.fft.fft_ops import amplify, deconvolve, fft_fine
 from tensorflow_nufft_tpu.kernels import dispatch
 from tensorflow_nufft_tpu.kernels.xla_ops import fold_and_rescale_split
-from tensorflow_nufft_tpu.plan.plan import NufftPlan, PlanSpec, make_plan
+from tensorflow_nufft_tpu.plan.plan import (
+    NufftPlan, PlanSpec, check_fine_grid_size, make_plan)
 
 
 def _execute(source: jax.Array, points: jax.Array,
@@ -44,6 +45,7 @@ def _execute(source: jax.Array, points: jax.Array,
         [B, *grid_shape] (type-1) or [B, M] (type-2), complex.
     """
     spec = plan.spec
+    check_fine_grid_size(plan, source.shape[0])
     points_resc = fold_and_rescale_split(points, plan.fine_shape,
                                          spec.points_range)
     if spec.transform_type == "type_1":

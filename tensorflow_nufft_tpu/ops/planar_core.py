@@ -32,7 +32,8 @@ from tensorflow_nufft_tpu.fft.planar_fft import (
 from tensorflow_nufft_tpu.kernels import dispatch
 from tensorflow_nufft_tpu.kernels.xla_ops import fold_and_rescale_split
 from tensorflow_nufft_tpu.ops.core import _mode_grid, _replace
-from tensorflow_nufft_tpu.plan.plan import PlanSpec, make_plan
+from tensorflow_nufft_tpu.plan.plan import (
+    PlanSpec, check_fine_grid_size, make_plan)
 
 
 def _fold(x: jax.Array) -> jax.Array:
@@ -53,10 +54,12 @@ def _execute_planar(source: jax.Array, points: jax.Array,
     (type-2); points: [M, rank]. Returns planar output."""
     spec = plan.spec
     batch = source.shape[0]
+    check_fine_grid_size(plan, 2 * batch)    # planar: re/im channel pair
     points_resc = fold_and_rescale_split(points, plan.fine_shape,
                                          spec.points_range)
     use_tiled = (not spec.spread_only
-                 and dispatch.pallas_active(plan, source.dtype))
+                 and dispatch.pallas_active(plan, source.dtype,
+                                            points.shape[0]))
     if spec.transform_type == "type_1":
         if use_tiled:
             # Spread to per-tile blocks; overlap-add + DFT + truncation

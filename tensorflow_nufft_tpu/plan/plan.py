@@ -204,6 +204,17 @@ class NufftPlan:
         return 1.0 / self.fseries[dim][np.abs(k)]
 
 
+def check_fine_grid_size(plan: "NufftPlan", batch: int) -> None:
+    """Guards the total fine-grid allocation including the inner batch
+    (the reference checks fine_size * batch_size, nufft_plan.h:843-848;
+    checking fine_size alone would let large inner batches through)."""
+    total = int(batch) * int(np.prod(plan.fine_shape))
+    if total > MAX_ARRAY_SIZE:
+        raise ValueError(
+            f"Fine grid is too big: batch {batch} x fine grid "
+            f"{plan.fine_shape} = {total} elements > {MAX_ARRAY_SIZE}")
+
+
 @functools.lru_cache(maxsize=512)
 def make_plan(spec: PlanSpec) -> NufftPlan:
     """Builds (and caches) the static plan for a transform spec."""

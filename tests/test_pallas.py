@@ -128,3 +128,24 @@ def test_pallas_batched(rng, batch, transform_type):
     b = tfft.planar.nufft(src, pts,
                           options=tfft.Options(backend="pallas"), **kw)
     assert _relerr(b, a) < 1e-4
+
+
+def test_forced_pallas_rejects_f64():
+    """backend='pallas' must error on f64/complex128 configs rather than
+    silently casting to float32 (advisor finding)."""
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-np.pi, np.pi, (64, 2))
+    vals = rng.standard_normal((64, 2))
+    with pytest.raises(ValueError, match="pallas"):
+        tfft.planar.nufft(vals, pts, grid_shape=(16, 16),
+                          transform_type="type_1",
+                          options=tfft.Options(backend="pallas"))
+
+
+def test_binning_exactness_guard():
+    """Slot indices >= 2**24 must raise (f32 ranking exactness bound)."""
+    from tensorflow_nufft_tpu.kernels import binning
+    geom = binning.choose_geometry((256, 256), 7, 40_000_000)
+    assert not binning.ranking_is_exact(geom)
+    with pytest.raises(ValueError, match="2\\*\\*24"):
+        binning.bin_points(jnp.zeros((40_000_000, 2), jnp.float32), geom)

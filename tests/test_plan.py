@@ -185,3 +185,20 @@ class TestScaleFactor:
         integral = np.trapezoid(
             es_kernel_np(z, beta, 4 / width ** 2, width / 2), z)
         assert 1.0 / s1 == pytest.approx(integral, rel=1e-2)
+
+
+def test_fine_grid_size_includes_batch():
+    """The allocation guard must include the inner batch (the reference
+    checks fine_size * batch_size, nufft_plan.h:843-848)."""
+    from tensorflow_nufft_tpu.plan.plan import (
+        PlanSpec, check_fine_grid_size, make_plan)
+    spec = PlanSpec(transform_type="type_1", fft_direction="forward",
+                    rank=3, grid_shape=(512, 512, 512),
+                    dtype_name="complex64", tol=1e-6, points_range=0,
+                    spread_only=False, upsampling_factor=2.0,
+                    backend="auto")
+    plan = make_plan(spec)
+    check_fine_grid_size(plan, 1)   # fine for a single transform
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="too big"):
+        check_fine_grid_size(plan, 64)

@@ -87,3 +87,24 @@ class TestCheckPointsRange:
         assert not np.any(np.isfinite(np.asarray(fn(grid, bad))))
         good = random_points(rng, (5, 2), np.float32)
         assert np.all(np.isfinite(np.asarray(fn(grid, good))))
+
+
+def test_infinite_fold_keeps_compensated_precision(rng):
+    """Far-out-of-range points must keep two-float coordinate precision
+    through the INFINITE wrap (the q*n_f product and the subtraction both
+    round when n_f is 5-smooth; their residuals feed the low word)."""
+    from tensorflow_nufft_tpu.kernels.xla_ops import (
+        INFINITE, fold_and_rescale_split)
+    nf = (540,)  # 5-smooth, not a power of two
+    x = rng.uniform(40.0, 90.0, (4096, 1)).astype(np.float32)
+    x = np.concatenate([x, -x]).astype(np.float32)
+    s_hi, s_lo = fold_and_rescale_split(jax.numpy.asarray(x), nf, INFINITE)
+    got = np.asarray(s_hi, np.float64) + np.asarray(s_lo, np.float64)
+    x64 = x.astype(np.float64)
+    expected = np.mod(x64 + np.pi, 2 * np.pi) * (nf[0] / (2 * np.pi))
+    err = np.abs(got - expected)
+    # wrap ambiguity at the seam: values within one ulp of nf may fold to
+    # 0 or nf; compare modulo nf.
+    err = np.minimum(err, np.abs(err - nf[0]))
+    # single-float folding would err by ~|x*c|*2^-24 ~ 5e-4 grid units
+    assert np.max(err) < 1e-6, np.max(err)
