@@ -34,6 +34,7 @@ from tensorflow_nufft_tpu.kernels.pallas_spread import (
     _linear_tile_id,
     _tile_origins,
     es_kernel_matrix,  # noqa: F401  (re-export for tests)
+    horner_static,
     kernel_matrices_from,
     num_points_of,
     supports,          # noqa: F401  (same support envelope as spread)
@@ -76,7 +77,8 @@ def _interp_chunk_values(tile_ref, mats, geom: TileGeometry,
 
 def _interp_kernel(bounds_ref, payload_hbm, tile_ref, out_hbm,
                    in_scratch, in_sems, out_scratch, out_sem,
-                   *, geom: TileGeometry, beta, c, half_width, batch2):
+                   *, geom: TileGeometry, beta, c, half_width, batch2,
+                   horner=None):
     t = _linear_tile_id(geom)
     start = bounds_ref[t]
     end = bounds_ref[t + 1]
@@ -101,7 +103,7 @@ def _interp_kernel(bounds_ref, payload_hbm, tile_ref, out_hbm,
         chunk_dma(slot, k).wait()
         data = in_scratch[slot]                  # [R, C]
         mats = kernel_matrices_from(data, origins, geom, beta, c,
-                                    half_width)
+                                    half_width, horner)
         out_scratch[...] = _interp_chunk_values(tile_ref, mats, geom,
                                                 batch2)
         # Stream the chunk's values back to HBM; waiting immediately is
@@ -143,7 +145,8 @@ def _interp_group(tiles, binned, payload, plan: NufftPlan,
     kernel = functools.partial(
         _interp_kernel, geom=geom,
         beta=np.float32(plan.beta), c=np.float32(plan.c),
-        half_width=np.float32(plan.half_width), batch2=batch2)
+        half_width=np.float32(plan.half_width), batch2=batch2,
+        horner=horner_static(plan))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

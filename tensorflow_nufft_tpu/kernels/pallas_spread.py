@@ -76,21 +76,34 @@ def num_points_of(points_resc) -> int:
 
 
 def es_kernel_matrix(num_offsets: int, s_hi: jax.Array, s_lo: jax.Array,
-                     beta, c, half_width):
+                     beta, c, half_width, horner=None):
     """[C] window centers -> [C, E] matrix phi(e - s_m) over integer
     offsets e in [0, E); exactly zero outside |z| < half_width. The
     center is the two-float pair (s_hi, s_lo) so the kernel argument
-    keeps full coordinate precision (see fold_and_rescale_split)."""
+    keeps full coordinate precision (see fold_and_rescale_split).
+
+    With ``horner`` (the plan's fitted polynomial in t = 2(2z/w)^2 - 1,
+    ascending coefficients), evaluation is transcendental-free and ~3x
+    more accurate in f32 (see plan.fit_horner_coeffs)."""
     offsets = jax.lax.broadcasted_iota(
         jnp.int32, (s_hi.shape[0], num_offsets), 1).astype(jnp.float32)
     z = (offsets - s_hi[:, None]) - s_lo[:, None]
+    if horner is not None:
+        c2 = np.float32(2.0 / (float(half_width) * float(half_width)))
+        t = z * z * c2 - np.float32(1.0)
+        inside = t < np.float32(1.0)
+        t = jnp.where(inside, t, np.float32(1.0))
+        acc = jnp.full_like(t, np.float32(horner[-1]))
+        for a in horner[-2::-1]:
+            acc = acc * t + np.float32(a)
+        return jnp.where(inside, acc, np.float32(0.0))
     inside = jnp.abs(z) < half_width
     arg = jnp.where(inside, 1.0 - c * z * z, 0.0)
     return jnp.where(inside, jnp.exp(beta * jnp.sqrt(arg)), 0.0)
 
 
 def kernel_matrices_from(data, origins, geom: TileGeometry, beta, c,
-                         half_width):
+                         half_width, horner=None):
     """Per-axis [C, E_d] kernel matrices from a payload chunk.
 
     data: [R, C] chunk (rows 0..rank-1 hi words, rank..2rank-1 lo).
@@ -102,8 +115,16 @@ def kernel_matrices_from(data, origins, geom: TileGeometry, beta, c,
         s_hi = data[d, :] - origins[d]
         s_lo = data[rank + d, :]
         mats.append(es_kernel_matrix(
-            geom.ext[d], s_hi, s_lo, beta, c, half_width))
+            geom.ext[d], s_hi, s_lo, beta, c, half_width, horner))
     return mats
+
+
+def horner_static(plan: NufftPlan):
+    """The plan's Horner coefficients as a hashable static kernel arg
+    (tuple of floats), or None."""
+    if plan.horner is None:
+        return None
+    return tuple(float(a) for a in plan.horner)
 
 
 def accumulate_spread(tile_ref, mats, data, geom: TileGeometry,
@@ -153,7 +174,8 @@ def _linear_tile_id(geom: TileGeometry):
 
 def _spread_kernel(bounds_ref, coords_hbm, values_hbm, tile_ref,
                    c_scratch, v_scratch, sems,
-                   *, geom: TileGeometry, beta, c, half_width, batch2):
+                   *, geom: TileGeometry, beta, c, half_width, batch2,
+                   horner=None):
     t = _linear_tile_id(geom)
     start = bounds_ref[t]
     end = bounds_ref[t + 1]
@@ -186,7 +208,7 @@ def _spread_kernel(bounds_ref, coords_hbm, values_hbm, tile_ref,
         for dma in chunk_dmas(slot, k):
             dma.wait()
         mats = kernel_matrices_from(c_scratch[slot], origins, geom,
-                                    beta, c, half_width)
+                                    beta, c, half_width, horner)
         accumulate_spread(tile_ref, mats, v_scratch[slot], geom,
                           batch2, 0)
         return 0
@@ -226,7 +248,8 @@ def _spread_group(strengths, binned, coords_pl, geom: TileGeometry,
     kernel = functools.partial(
         _spread_kernel, geom=geom,
         beta=np.float32(plan.beta), c=np.float32(plan.c),
-        half_width=np.float32(plan.half_width), batch2=batch2)
+        half_width=np.float32(plan.half_width), batch2=batch2,
+        horner=horner_static(plan))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,                   # tile chunk bounds

@@ -151,6 +151,37 @@ def es_kernel(z: jax.Array, beta: float, c: float,
     return jnp.where(inside, val, 0.0)
 
 
+def es_kernel_horner(z: jax.Array, horner, half_width: float) -> jax.Array:
+    """Horner evaluation of the plan's fitted kernel polynomial.
+
+    More accurate than ``es_kernel`` in float32 (~3e-7 vs ~1e-6
+    relative-to-peak; the exp argument rounding is amplified by beta)
+    and transcendental-free. ``horner`` are ascending power-basis
+    coefficients in t = 2 (z/half_width)^2 - 1 (see
+    plan.fit_horner_coeffs).
+    """
+    dt = z.dtype
+    u = jnp.square(z) * dt.type(2.0 / (half_width * half_width))
+    t = u - dt.type(1.0)
+    inside = t < dt.type(1.0)
+    # Clamp masked lanes so far-out sentinels don't overflow to inf
+    # (inf * 0 = nan would poison gradients).
+    t = jnp.where(inside, t, dt.type(1.0))
+    acc = jnp.full_like(t, dt.type(horner[-1]))
+    for a in horner[-2::-1]:
+        acc = acc * t + dt.type(a)
+    return jnp.where(inside, acc, dt.type(0.0))
+
+
+def es_kernel_for(z: jax.Array, plan) -> jax.Array:
+    """Kernel evaluation dispatch: fitted Horner polynomial when the
+    plan has one and the computation is float32, direct exp/sqrt
+    otherwise (f64 direct eval is already ~1e-15 accurate)."""
+    if plan.horner is not None and z.dtype == jnp.float32:
+        return es_kernel_horner(z, plan.horner, plan.half_width)
+    return es_kernel(z, plan.beta, plan.c, plan.half_width)
+
+
 def spread_geometry(points_resc, plan: NufftPlan
                     ) -> Tuple[Tuple[jax.Array, ...], Tuple[jax.Array, ...]]:
     """Per-dimension spreading indices and kernel values.
@@ -184,7 +215,7 @@ def spread_geometry(points_resc, plan: NufftPlan
         z = i0[:, None] + offsets[None, :] - s[:, None]      # [M, width]
         if points_lo is not None:
             z = z - points_lo[:, d][:, None]
-        ker = es_kernel(z, plan.beta, plan.c, plan.half_width)
+        ker = es_kernel_for(z, plan)
         idx = (i0.astype(jnp.int32)[:, None]
                + offsets.astype(jnp.int32)[None, :])
         idx = jnp.mod(idx, plan.fine_shape[d])

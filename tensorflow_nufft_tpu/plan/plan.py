@@ -105,6 +105,50 @@ def es_kernel_np(z: np.ndarray, beta: float, c: float,
     return np.where(inside, np.exp(beta * np.sqrt(arg)), 0.0)
 
 
+def fit_horner_coeffs(width: int, beta: float,
+                      tol: float) -> Tuple[float, ...]:
+    """Fits the ES kernel as ONE polynomial in t = 2 (2z/w)^2 - 1.
+
+    TPU-native take on the reference's piecewise-Horner kernel tables
+    (kernel_horner_sigma2.inc, dispatched at nufft_plan.cc:1291-1307):
+    piecewise-per-offset polynomials need per-entry piece selection
+    (cheap per CUDA thread, expensive on a vector unit), but since the
+    kernel is even, a single Chebyshev fit in the squared argument
+    converges fast wherever it matters — the endpoint sqrt-singularity
+    region contributes only O(e^-beta) relative to the peak. Degree
+    10-16 reaches ~3e-8 relative-to-peak, and a float32 Horner
+    evaluation stays at a few ULPs of the peak (~3e-7), versus ~1e-6
+    for direct exp/sqrt in float32 (argument rounding is amplified by
+    beta). Coefficients are derived independently via least-squares on
+    Chebyshev nodes — nothing is copied from the reference's generated
+    tables.
+
+    Returns power-basis coefficients (a_0, ..., a_d) in t, ascending.
+    """
+    hw = width / 2.0
+    c = 4.0 / (width * width)
+    target = max(tol / 50.0, 2.5e-8)
+    zz = np.linspace(0.0, hw, 4001)[:-1]
+    tz = 2.0 * (zz / hw) ** 2 - 1.0
+    phi = np.exp(beta * np.sqrt(np.maximum(1.0 - c * zz * zz, 0.0)))
+    peak = float(phi.max())
+    best = None
+    for deg in range(6, 25):
+        n = 4 * deg + 8
+        tn = np.cos(np.pi * (np.arange(n) + 0.5) / n)
+        u = (tn + 1.0) / 2.0
+        z = hw * np.sqrt(u)
+        f = np.exp(beta * np.sqrt(np.maximum(1.0 - c * z * z, 0.0)))
+        cf = np.polynomial.chebyshev.chebfit(tn, f, deg)
+        pw = np.polynomial.chebyshev.cheb2poly(cf)
+        err = float(np.max(np.abs(np.polyval(pw[::-1], tz) - phi))) / peak
+        if best is None or err < best[0]:
+            best = (err, pw)
+        if err <= target:
+            break
+    return tuple(float(a) for a in best[1])
+
+
 def kernel_fseries_1d(fine_dim: int, width: int, beta: float) -> np.ndarray:
     """Fourier series coefficients of the ES kernel along one dimension.
 
@@ -175,6 +219,10 @@ class NufftPlan:
     fseries: Tuple[np.ndarray, ...]   # per-dim, float64, len nf//2+1
     kernel_scale: float               # spread/interp-only normalization
     tol: float                        # clamped tolerance
+    # Horner polynomial for float32 kernel evaluation (None for f64
+    # plans, where direct exp/sqrt is already exact enough): power-basis
+    # coefficients in t = 2 (2z/width)^2 - 1, ascending.
+    horner: Optional[Tuple[float, ...]] = None
 
     @property
     def rank(self) -> int:
@@ -276,6 +324,8 @@ def make_plan(spec: PlanSpec) -> NufftPlan:
         kernel_fseries_1d(fine_shape[d], width, beta) for d in range(rank))
     kernel_scale = calculate_scale_factor(rank, width, beta) \
         if spec.spread_only else 1.0
+    horner = fit_horner_coeffs(width, beta, tol) \
+        if real_dt == np.dtype(np.float32) else None
 
     return NufftPlan(
         spec=spec,
@@ -288,4 +338,5 @@ def make_plan(spec: PlanSpec) -> NufftPlan:
         fseries=fseries,
         kernel_scale=kernel_scale,
         tol=tol,
+        horner=horner,
     )

@@ -202,3 +202,40 @@ def test_fine_grid_size_includes_batch():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="too big"):
         check_fine_grid_size(plan, 64)
+
+
+def test_horner_fit_accuracy():
+    """Fitted Horner polynomial matches the f64 kernel to ~3e-8
+    rel-to-peak for every width the f32 path serves."""
+    from tensorflow_nufft_tpu.plan.plan import (
+        es_kernel_np, fit_horner_coeffs, kernel_beta)
+    for width, tol in ((3, 1e-2), (5, 1e-4), (7, 1e-6), (8, 1e-7)):
+        beta = kernel_beta(width, 2.0)
+        coeffs = fit_horner_coeffs(width, beta, tol)
+        hw = width / 2.0
+        # open interval: the kernel jumps to 0 at |z| = hw, so the
+        # endpoint itself is measure-zero and excluded from the fit.
+        z = np.linspace(-hw, hw, 8001)[1:-1]
+        t = 2.0 * (z / hw) ** 2 - 1.0
+        got = np.polyval(np.asarray(coeffs)[::-1], t)
+        ref = es_kernel_np(z, beta, 4.0 / width**2, hw)
+        err = np.max(np.abs(got - ref)) / ref.max()
+        assert err < max(tol / 20, 5e-8), (width, err)
+
+
+def test_es_kernel_horner_matches_direct():
+    """Device Horner evaluation agrees with direct exp/sqrt eval and is
+    exactly zero outside the support (incl. far-out sentinel values)."""
+    import jax.numpy as jnp
+    from tensorflow_nufft_tpu.kernels.xla_ops import (
+        es_kernel, es_kernel_horner)
+    from tensorflow_nufft_tpu.plan.plan import PlanSpec, make_plan
+    plan = make_plan(PlanSpec("type_1", "forward", 1, (64,),
+                              "complex64", 1e-6, 0))
+    z = jnp.asarray(
+        np.concatenate([np.linspace(-4.0, 4.0, 1001), [-1e6, 1e6]]),
+        jnp.float32)
+    h = np.asarray(es_kernel_horner(z, plan.horner, plan.half_width))
+    d = np.asarray(es_kernel(z, plan.beta, plan.c, plan.half_width))
+    assert h[-1] == 0.0 and h[-2] == 0.0
+    np.testing.assert_allclose(h, d, atol=2e-6 * d.max())
