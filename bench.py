@@ -3,18 +3,32 @@
 Config (BASELINE.md): 256x256 mode grid, 65536 uniform-random points,
 eps=1e-6, complex64 (planar on TPU). Baseline target: 1e8 NU points/s.
 
+Accuracy gate (full 256^2 mode census, not a corner band):
+  - err_impl: max |TPU - CPU float64 NUFFT at the same tol| — the
+    implementation error; gated at < tol (the north star's "max error
+    below the requested tolerance vs the CPU reference").
+  - err_total: max |TPU - exact dense NUDFT| — includes the plan's
+    aliasing error, which is ~2.4*tol at tol=1e-6 *in float64 too*
+    (inherent to the reference's width formula, nufft_plan.h:739-780;
+    see BENCH_NOTES.md). Reported for transparency, gated at 10*tol.
+
+The float64 references are computed in a forced-CPU subprocess (the TPU
+backend has no complex dtypes) and cached in build/.
+
 Timing methodology: the relay to the TPU has ~30-100 ms fixed dispatch +
 readback latency and an unreliable block_until_ready, so the transform is
 iterated inside a single jit (lax.fori_loop, input perturbed per
 iteration to prevent CSE) and the marginal time between K=1 and K=K2
-runs is used. Accuracy is cross-checked against the dense oracle on a
-point subset before timing.
+runs is used.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "points/s", "vs_baseline": N}
 """
 
 import json
+import os
+import pathlib
+import subprocess
 import sys
 import time
 
@@ -25,10 +39,57 @@ GRID = 256
 NUM_POINTS = 65536
 TOL = 1e-6
 K2 = 17
+SEED = 42
+REF_PATH = pathlib.Path(__file__).parent / "build" / \
+    f"bench_ref_{GRID}_{NUM_POINTS}_{SEED}.npz"
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def _inputs():
+    rng = np.random.default_rng(SEED)
+    points = rng.uniform(-np.pi, np.pi,
+                         (NUM_POINTS, 2)).astype(np.float32)
+    z = (rng.standard_normal(NUM_POINTS)
+         + 1j * rng.standard_normal(NUM_POINTS)).astype(np.complex64)
+    return points, z
+
+
+def make_ref():
+    """Forced-CPU subprocess entry: float64 same-tol NUFFT + exact NUDFT."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import tensorflow_nufft_tpu as tfft
+
+    points, z = _inputs()
+    p64 = points.astype(np.float64)
+    c128 = z.astype(np.complex128)
+    cpu_ref = np.asarray(tfft.nufft(
+        c128, p64, grid_shape=(GRID, GRID), transform_type="type_1",
+        tol=TOL))
+    k = np.arange(GRID) - GRID // 2
+    ax = np.exp(-1j * np.outer(p64[:, 0], k))
+    ay = np.exp(-1j * np.outer(p64[:, 1], k))
+    oracle = (ax * c128[:, None]).T @ ay
+    REF_PATH.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(REF_PATH, cpu_ref=cpu_ref, oracle=oracle)
+    log(f"wrote {REF_PATH}")
+
+
+def ensure_refs():
+    if not REF_PATH.exists():
+        log("computing float64 CPU references in a subprocess ...")
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--make-ref"],
+            check=True, env=env,
+            cwd=pathlib.Path(__file__).parent)
+    data = np.load(REF_PATH)
+    return data["cpu_ref"], data["oracle"]
 
 
 def main():
@@ -38,30 +99,26 @@ def main():
     from tensorflow_nufft_tpu.planar import to_planar
 
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
-    rng = np.random.default_rng(42)
-    points = rng.uniform(-np.pi, np.pi,
-                         (NUM_POINTS, 2)).astype(np.float32)
-    z = (rng.standard_normal(NUM_POINTS)
-         + 1j * rng.standard_normal(NUM_POINTS)).astype(np.complex64)
+    points, z = _inputs()
     strengths = to_planar(z)
+    cpu_ref, oracle = ensure_refs()
 
-    # --- Accuracy gate vs dense oracle (subset of modes).
+    # --- Accuracy gate: full mode census.
     out = np.asarray(
         tfft.planar.nufft(strengths, points, grid_shape=(GRID, GRID),
                           transform_type="type_1", tol=TOL))
-    sub = 64
-    kv = np.arange(GRID) - GRID // 2
-    krow = kv[:sub]
-    # Check a band of modes: F[k] = sum_m c_m exp(-i k . x_m)
-    phase = np.exp(-1j * (np.outer(krow, np.ones(NUM_POINTS))
-                          * points[:, 0][None]
-                          + kv[0] * points[:, 1][None]))
-    oracle_band = phase @ z
-    got_band = out[:sub, 0, 0] + 1j * out[:sub, 0, 1]
-    err = np.max(np.abs(got_band - oracle_band)) / np.max(
-        np.abs(oracle_band))
-    log(f"accuracy vs oracle (mode band): {err:.2e} (tol {TOL:g})")
-    accurate = err < 10 * TOL
+    got = out[..., 0] + 1j * out[..., 1]
+    scale = np.max(np.abs(oracle))
+    err_impl = np.max(np.abs(got - cpu_ref)) / scale
+    err_total = np.max(np.abs(got - oracle)) / scale
+    err_alias = np.max(np.abs(cpu_ref - oracle)) / scale
+    log(f"err_impl  (vs CPU f64 NUFFT, same tol): {err_impl:.2e} "
+        f"(gate: < {TOL:g})")
+    log(f"err_total (vs exact NUDFT):             {err_total:.2e} "
+        f"(gate: < {10 * TOL:g})")
+    log(f"err_alias (f64 plan approximation):     {err_alias:.2e} "
+        f"(width formula property, precision-independent)")
+    accurate = (err_impl < TOL) and (err_total < 10 * TOL)
 
     # --- Throughput (marginal-cost timing).
     pts_dev = jnp.asarray(points)
@@ -105,4 +162,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--make-ref" in sys.argv:
+        make_ref()
+    else:
+        main()
