@@ -67,7 +67,10 @@ class TileGeometry:
 
 _TILE_PREFS = {
     1: (1024, 768, 512, 1280, 256, 1536, 2048, 128, 64, 32, 16),
-    2: (128, 160, 96, 192, 256, 64, 320, 32, 16),
+    # 64 first: E = 72 fits one 128-lane tile and the v5e sweep showed
+    # tile=64 beating 128 by ~40% on the spread kernel (smaller matmuls,
+    # same lane footprint).
+    2: (64, 96, 128, 160, 192, 256, 320, 32, 16),
     3: (32, 40, 48, 64, 24, 16, 80, 96, 128, 8, 10, 12),
 }
 # Leading (sublane-ish) axis of 3D tiles can be small.
@@ -122,7 +125,7 @@ def choose_geometry(fine_shape: Sequence[int], width: int,
     num_tiles = int(np.prod([nf // t for nf, t in zip(fine_shape, tile)]))
     if chunk == 0:
         # Aim for ~25% padding waste worst-case, in [256, 2048].
-        target = max(num_points // (4 * num_tiles), 1)
+        target = max(num_points // (2 * num_tiles), 1)
         chunk = int(min(2048, max(256, 2 ** int(np.ceil(np.log2(target))))))
     # Keep the per-chunk kernel matrices within a VMEM budget (~2 MB):
     # they have chunk * sum(ext) float32 elements.
@@ -336,13 +339,58 @@ def build_coords_payload(binned: BinnedPoints,
     return _pack_rows(rows, rank, binned, geom)
 
 
-def build_values_payload(values: jax.Array, binned: BinnedPoints,
+def build_values_payload(values_pm: jax.Array, binned: BinnedPoints,
                          geom: TileGeometry) -> jax.Array:
-    """[NC, 8*, chunk] per-point values payload (e.g. folded planar
-    strengths [B2, M]); zero in padded slots."""
-    rows = [values[b].astype(jnp.float32)
-            for b in range(values.shape[0])]
-    return _pack_rows(rows, 0, binned, geom)
+    """[NC, 8*, chunk] per-point values payload; zero in padded slots.
+
+    Takes points-major values [M, B2] so all B2 channels move in ONE
+    scatter (each index carries a contiguous [B2] row) — per-point
+    index processing dominates scatter cost on TPU, so this is ~2x
+    cheaper than per-channel row scatters even at B2=2. The [NC, C, B2]
+    -> [NC, B2, C] transpose afterwards is batched and cheap (unlike a
+    global channel-major transpose).
+    """
+    m, b2 = values_pm.shape
+    nc, chunk = geom.num_chunks, geom.chunk
+    tgt = jnp.zeros((nc * chunk, b2), jnp.float32)
+    tgt = tgt.at[binned.padpos].set(values_pm.astype(jnp.float32),
+                                    unique_indices=True)
+    pay = tgt.reshape(nc, chunk, b2).transpose(0, 2, 1)
+    r_pad = -(-b2 // 8) * 8
+    if r_pad != b2:
+        pay = jnp.pad(pay, ((0, 0), (0, r_pad - b2), (0, 0)))
+    return pay
+
+
+def build_kernel_matrix_payload(binned: BinnedPoints,
+                                geom: TileGeometry, plan):
+    """Precomputed per-chunk ES kernel matrices, one per axis.
+
+    Returns a tuple of [NC, C, E_d] float32 arrays with
+    ``mats[d][k, c, e] = phi(e + origin_d(k) - s_c^d)``. They depend only
+    on the points (not the strengths), so in iterative algorithms XLA
+    hoists them out of the loop alongside the binning — turning the
+    Pallas spread/interp kernels into pure DMA + MXU streams (the
+    in-kernel VPU polynomial evaluation otherwise dominates at ~2 us per
+    chunk). Sentinel slots evaluate to exactly zero.
+    """
+    from tensorflow_nufft_tpu.kernels.xla_ops import es_kernel_for
+    rank = geom.rank
+    coords = build_coords_payload(binned, geom)      # [NC, 8, C]
+    mats = []
+    for d in range(rank):
+        origin = (binned.chunk_tidx[d].astype(jnp.float32)
+                  * float(geom.tile[d]) - float(geom.pad))   # [NC]
+        s_hi = coords[:, d, :] - origin[:, None]             # [NC, C]
+        s_lo = coords[:, rank + d, :]
+        # Lane-pad E to 128 (DMA slices must be lane-aligned); the
+        # kernel slices back to E. Padded offsets are outside the
+        # support, so they evaluate to zero anyway.
+        e_pad = -(-geom.ext[d] // 128) * 128
+        e = jnp.arange(e_pad, dtype=jnp.float32)
+        z = (e[None, None, :] - s_hi[:, :, None]) - s_lo[:, :, None]
+        mats.append(es_kernel_for(z, plan))
+    return tuple(mats)
 
 
 def scatter_chunked(values: jax.Array, binned: BinnedPoints

@@ -31,6 +31,7 @@ from tensorflow_nufft_tpu.kernels.binning import (
     scatter_chunked,
 )
 from tensorflow_nufft_tpu.kernels.pallas_spread import (
+    NBUF,
     _linear_tile_id,
     _tile_origins,
     es_kernel_matrix,  # noqa: F401  (re-export for tests)
@@ -75,8 +76,106 @@ def _interp_chunk_values(tile_ref, mats, geom: TileGeometry,
     return jnp.stack(outs, axis=0)
 
 
+def _interp_chunk_values_at(tile_ref, tids, mats, geom: TileGeometry,
+                            batch2: int):
+    """_interp_chunk_values with dynamic leading tile indices."""
+    rank = geom.rank
+    outs = []
+    for b in range(batch2):             # static unroll over channels
+        if rank == 1:
+            f_tile = tile_ref[tids[0], b, :]                # [E]
+            outs.append(jnp.sum(mats[0] * f_tile[None, :], axis=1))
+        elif rank == 2:
+            f_tile = tile_ref[tids[0], tids[1], b]          # [Ey, Ex]
+            t = jax.lax.dot_general(
+                mats[0], f_tile, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_MXU_PRECISION)                    # [C, Ex]
+            outs.append(jnp.sum(t * mats[1], axis=1))
+        else:
+            acc = jnp.zeros((mats[0].shape[0],), jnp.float32)
+            for ez in range(geom.ext[0]):   # z-planes, static unroll
+                f_tile = tile_ref[tids[0], tids[1], tids[2], b, ez]
+                t = jax.lax.dot_general(
+                    mats[1], f_tile, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_MXU_PRECISION)                # [C, Ex]
+                acc = acc + mats[0][:, ez] * jnp.sum(t * mats[2],
+                                                     axis=1)
+            outs.append(acc)
+    return jnp.stack(outs, axis=0)
+
+
+def _interp_kernel_resident_mats(*refs, geom: TileGeometry, batch2):
+    """Resident interp consuming precomputed kernel matrices.
+
+    The whole windowed tile array stays in VMEM; one global chunk
+    stream of precomputed [C, E_d] matrices (pure DMA + MXU — see
+    _spread_kernel_resident_mats)."""
+    rank = geom.rank
+    bounds_ref = refs[0]
+    ct_refs = refs[1:1 + rank]
+    mats_hbm = refs[1 + rank:1 + 2 * rank]
+    tile_ref = refs[1 + 2 * rank]
+    out_hbm = refs[2 + 2 * rank]
+    m_scratch = refs[3 + 2 * rank:3 + 3 * rank]
+    out_scratch = refs[3 + 3 * rank]
+    in_sems = refs[4 + 3 * rank]
+    out_sems = refs[5 + 3 * rank]
+    used = bounds_ref[geom.num_tiles]
+
+    def chunk_dmas(slot, k):
+        return [
+            pltpu.make_async_copy(mats_hbm[d].at[k],
+                                  m_scratch[d].at[slot],
+                                  in_sems.at[slot, d])
+            for d in range(rank)]
+
+    def write_dma(slot, k):
+        return pltpu.make_async_copy(
+            out_scratch.at[slot], out_hbm.at[k], out_sems.at[slot])
+
+    for j in range(NBUF - 1):
+        @pl.when(j < used)
+        def _(j=j):
+            for dma in chunk_dmas(j, j):
+                dma.start()
+
+    def body(k, _):
+        slot = jax.lax.rem(k, jnp.asarray(NBUF, k.dtype))
+        oslot = jax.lax.rem(k, jnp.asarray(2, k.dtype))
+
+        @pl.when(k + NBUF - 1 < used)
+        def _():
+            nslot = jax.lax.rem(k + NBUF - 1, jnp.asarray(NBUF, k.dtype))
+            for dma in chunk_dmas(nslot, k + NBUF - 1):
+                dma.start()
+
+        for dma in chunk_dmas(slot, k):
+            dma.wait()
+        tids = [ct_refs[d][k] for d in range(rank)]
+        mats = [m_scratch[d][slot][:, :geom.ext[d]] for d in range(rank)]
+
+        @pl.when(k >= 2)
+        def _():
+            write_dma(oslot, k - 2).wait()
+        out_scratch[oslot] = _interp_chunk_values_at(
+            tile_ref, tids, mats, geom, batch2)
+        write_dma(oslot, k).start()
+        return 0
+
+    jax.lax.fori_loop(0, used, body, 0)
+
+    for j in range(2):
+        @pl.when(j < used)
+        def _(j=j):
+            last = used - 1 - j
+            write_dma(jax.lax.rem(last, jnp.asarray(2, last.dtype)),
+                      last).wait()
+
+
 def _interp_kernel(bounds_ref, payload_hbm, tile_ref, out_hbm,
-                   in_scratch, in_sems, out_scratch, out_sem,
+                   in_scratch, in_sems, out_scratch, out_sems,
                    *, geom: TileGeometry, beta, c, half_width, batch2,
                    horner=None):
     t = _linear_tile_id(geom)
@@ -88,59 +187,109 @@ def _interp_kernel(bounds_ref, payload_hbm, tile_ref, out_hbm,
         return pltpu.make_async_copy(
             payload_hbm.at[k], in_scratch.at[slot], in_sems.at[slot])
 
-    @pl.when(start < end)
-    def _():
-        chunk_dma(0, start).start()
+    def write_dma(slot, k):
+        return pltpu.make_async_copy(
+            out_scratch.at[slot], out_hbm.at[k], out_sems.at[slot])
+
+    for j in range(NBUF - 1):
+        @pl.when(start + j < end)
+        def _(j=j):
+            chunk_dma(j, start + j).start()
 
     def body(k, _):
         d = k - start
-        slot = jax.lax.rem(d, jnp.asarray(2, d.dtype))
+        slot = jax.lax.rem(d, jnp.asarray(NBUF, d.dtype))
+        oslot = jax.lax.rem(d, jnp.asarray(2, d.dtype))
 
-        @pl.when(k + 1 < end)
+        @pl.when(k + NBUF - 1 < end)
         def _():
-            chunk_dma(1 - slot, k + 1).start()
+            nslot = jax.lax.rem(d + NBUF - 1, jnp.asarray(NBUF, d.dtype))
+            chunk_dma(nslot, k + NBUF - 1).start()
 
         chunk_dma(slot, k).wait()
         data = in_scratch[slot]                  # [R, C]
         mats = kernel_matrices_from(data, origins, geom, beta, c,
                                     half_width, horner)
-        out_scratch[...] = _interp_chunk_values(tile_ref, mats, geom,
-                                                batch2)
-        # Stream the chunk's values back to HBM; waiting immediately is
-        # cheap (the write is ~KBs) and keeps one scratch buffer.
-        write = pltpu.make_async_copy(out_scratch, out_hbm.at[k],
-                                      out_sem)
-        write.start()
-        write.wait()
+        # Double-buffered write-back: reclaim this slot's previous write
+        # before overwriting, so the outbound DMA overlaps the next
+        # chunk's compute instead of serializing against it.
+        @pl.when(d >= 2)
+        def _():
+            write_dma(oslot, k - 2).wait()
+        out_scratch[oslot] = _interp_chunk_values(tile_ref, mats, geom,
+                                                  batch2)
+        write_dma(oslot, k).start()
         return 0
 
     jax.lax.fori_loop(start, end, body, 0)
 
+    # Drain the last two outstanding writes.
+    for j in range(2):
+        @pl.when(start + j < end)
+        def _(j=j):
+            last = end - 1 - j
+            write_dma(jax.lax.rem(last - start, jnp.asarray(2, last.dtype)),
+                      last).wait()
+
 
 def interp_pallas_tiled(tiles: jax.Array, points_resc,
-                        plan: NufftPlan, geom: TileGeometry) -> jax.Array:
+                        plan: NufftPlan, geom: TileGeometry,
+                        binned=None, mats=None) -> jax.Array:
     """[*tiles, B2, *ext] extended blocks + rescaled points ->
     [B2, M]. The halo windowing is the caller's (fused into the upstream
-    contraction by amplify_pad_dft_tiled, or done by extend_tiles)."""
+    contraction by amplify_pad_dft_tiled, or done by extend_tiles).
+    ``binned``/``mats`` (from a planned transform) skip the points-side
+    preprocessing and the in-kernel polynomial evaluation."""
     from tensorflow_nufft_tpu.kernels.pallas_spread import MAX_CHANNELS
     rank = geom.rank
     batch2 = tiles.shape[rank]
-    binned = bin_points(points_resc, geom)
-    payload = build_coords_payload(binned, geom)
+    if binned is None:
+        binned = bin_points(points_resc, geom)
+    payload = build_coords_payload(binned, geom) if mats is None else None
     if batch2 > MAX_CHANNELS:
         groups = []
         for i in range(0, batch2, MAX_CHANNELS):
             sl = (slice(None),) * rank + (slice(i, i + MAX_CHANNELS),)
             groups.append(_interp_group(tiles[sl], binned, payload,
-                                        plan, geom))
+                                        plan, geom, mats))
         return jnp.concatenate(groups, axis=0)
-    return _interp_group(tiles, binned, payload, plan, geom)
+    return _interp_group(tiles, binned, payload, plan, geom, mats)
 
 
 def _interp_group(tiles, binned, payload, plan: NufftPlan,
-                  geom: TileGeometry) -> jax.Array:
+                  geom: TileGeometry, mats=None) -> jax.Array:
+    from tensorflow_nufft_tpu.kernels.pallas_spread import resident_fits
     rank = geom.rank
     batch2 = tiles.shape[rank]
+
+    if mats is not None and resident_fits(geom, batch2):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1 + rank,
+            grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * rank
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=(
+                [pltpu.VMEM((NBUF, geom.chunk,
+                             -(-geom.ext[d] // 128) * 128),
+                            jnp.float32) for d in range(rank)]
+                + [pltpu.VMEM((2, batch2, geom.chunk), jnp.float32),
+                   pltpu.SemaphoreType.DMA((NBUF, rank)),
+                   pltpu.SemaphoreType.DMA((2,))]),
+        )
+        chunk_vals = pl.pallas_call(
+            functools.partial(_interp_kernel_resident_mats,
+                              geom=geom, batch2=batch2),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (geom.num_chunks, batch2, geom.chunk), jnp.float32),
+            interpret=use_interpret(),
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(binned.tile_bounds, *binned.chunk_tidx, *mats,
+          tiles.astype(jnp.float32))
+        flat = chunk_vals.transpose(1, 0, 2).reshape(
+            batch2, geom.num_chunks * geom.chunk)
+        return scatter_chunked(flat, binned)
 
     kernel = functools.partial(
         _interp_kernel, geom=geom,
@@ -161,10 +310,10 @@ def _interp_group(tiles, binned, payload, plan: NufftPlan,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),  # chunk values
         scratch_shapes=[
-            pltpu.VMEM((2,) + payload.shape[1:], jnp.float32),
+            pltpu.VMEM((NBUF,) + payload.shape[1:], jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.VMEM((2, batch2, geom.chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((batch2, geom.chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
         ],
     )
     chunk_vals = pl.pallas_call(

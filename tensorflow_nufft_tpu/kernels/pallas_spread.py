@@ -172,6 +172,175 @@ def _linear_tile_id(geom: TileGeometry):
     return t
 
 
+# Prefetch depth for the chunk-streaming pipeline: per-chunk compute is
+# well under DMA latency (~2 us), so two buffers stall on every wait;
+# four keep the stream ahead of compute.
+NBUF = 4
+
+# VMEM budget for holding the entire tile array resident in one program
+# (v5e has ~16 MB; leave room for payload scratch + pipeline buffers).
+VMEM_RESIDENT_BUDGET = 8 * 2 ** 20
+
+
+def resident_fits(geom: TileGeometry, batch2: int) -> bool:
+    """Whether the whole [*tiles, B2, *ext] array fits the VMEM budget
+    (the single-program kernel needs it resident)."""
+    total = (geom.num_tiles * batch2 * int(np.prod(geom.ext))) * 4
+    return total <= VMEM_RESIDENT_BUDGET
+
+
+def accumulate_spread_at(out_ref, tids, mats, data,
+                         geom: TileGeometry, batch2: int,
+                         rank_offset: int):
+    """accumulate_spread with dynamic leading tile indices ``tids``."""
+    rank = geom.rank
+    for b in range(batch2):             # static unroll over channels
+        s_b = data[rank_offset + b, :][:, None]
+        if rank == 1:
+            contrib = jnp.sum(mats[0] * s_b, axis=0)
+            out_ref[tids[0], b, :] += contrib
+        elif rank == 2:
+            p = mats[1] * s_b                               # [C, Ex]
+            contrib = jax.lax.dot_general(
+                mats[0], p, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_MXU_PRECISION)                    # [Ey, Ex]
+            out_ref[tids[0], tids[1], b] += contrib
+        else:
+            p = mats[2] * s_b                               # [C, Ex]
+            for ez in range(geom.ext[0]):   # z-planes, static unroll
+                w = mats[1] * mats[0][:, ez][:, None]       # [C, Ey]
+                contrib = jax.lax.dot_general(
+                    w, p, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_MXU_PRECISION)                # [Ey, Ex]
+                out_ref[tids[0], tids[1], tids[2], b, ez] += contrib
+
+
+# HBM budget for precomputed kernel-matrix payloads (build_kernel_
+# matrix_payload): beyond this, fall back to in-kernel evaluation.
+MATS_BYTES_BUDGET = 512 * 2 ** 20
+
+
+def mats_payload_bytes(geom: TileGeometry) -> int:
+    return 4 * geom.num_chunks * geom.chunk * sum(geom.ext)
+
+
+def _spread_kernel_resident_mats(*refs, geom: TileGeometry, batch2):
+    """Resident spread consuming precomputed kernel matrices.
+
+    Pure DMA + MXU: the VPU polynomial evaluation lives in the hoisted
+    XLA precompute (binning.build_kernel_matrix_payload); per chunk this
+    kernel only waits for the streamed [C, E_d] matrices and runs the
+    accumulation matmuls.
+    """
+    rank = geom.rank
+    bounds_ref = refs[0]
+    ct_refs = refs[1:1 + rank]
+    mats_hbm = refs[1 + rank:1 + 2 * rank]
+    values_hbm = refs[1 + 2 * rank]
+    out_ref = refs[2 + 2 * rank]
+    m_scratch = refs[3 + 2 * rank:3 + 3 * rank]
+    v_scratch = refs[3 + 3 * rank]
+    sems = refs[4 + 3 * rank]
+    used = bounds_ref[geom.num_tiles]
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    def chunk_dmas(slot, k):
+        dmas = [
+            pltpu.make_async_copy(mats_hbm[d].at[k],
+                                  m_scratch[d].at[slot],
+                                  sems.at[slot, d])
+            for d in range(rank)]
+        dmas.append(
+            pltpu.make_async_copy(values_hbm.at[k], v_scratch.at[slot],
+                                  sems.at[slot, rank]))
+        return dmas
+
+    for j in range(NBUF - 1):
+        @pl.when(j < used)
+        def _(j=j):
+            for dma in chunk_dmas(j, j):
+                dma.start()
+
+    def body(k, _):
+        slot = jax.lax.rem(k, jnp.asarray(NBUF, k.dtype))
+
+        @pl.when(k + NBUF - 1 < used)
+        def _():
+            nslot = jax.lax.rem(k + NBUF - 1, jnp.asarray(NBUF, k.dtype))
+            for dma in chunk_dmas(nslot, k + NBUF - 1):
+                dma.start()
+
+        for dma in chunk_dmas(slot, k):
+            dma.wait()
+        tids = [ct_refs[d][k] for d in range(rank)]
+        mats = [m_scratch[d][slot][:, :geom.ext[d]] for d in range(rank)]
+        accumulate_spread_at(out_ref, tids, mats, v_scratch[slot],
+                             geom, batch2, 0)
+        return 0
+
+    jax.lax.fori_loop(0, used, body, 0)
+
+
+def _spread_kernel_resident(*refs, geom: TileGeometry, beta, c,
+                            half_width, batch2, horner=None):
+    """Single-program spread: the whole tile array stays in VMEM.
+
+    One global chunk stream with deep prefetch — no per-tile program
+    restarts, no pipeline stalls at tile boundaries. Chunk k's
+    contribution lands at dynamic tile index (ct0[k], ct1[k], ...).
+    Used when the tile array fits the VMEM budget (the per-tile grid
+    kernel ``_spread_kernel`` covers larger problems).
+    """
+    rank = geom.rank
+    bounds_ref = refs[0]
+    ct_refs = refs[1:1 + rank]
+    coords_hbm, values_hbm, out_ref, c_scratch, v_scratch, sems = \
+        refs[1 + rank:]
+    used = bounds_ref[geom.num_tiles]
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    def chunk_dmas(slot, k):
+        return (
+            pltpu.make_async_copy(coords_hbm.at[k], c_scratch.at[slot],
+                                  sems.at[slot, 0]),
+            pltpu.make_async_copy(values_hbm.at[k], v_scratch.at[slot],
+                                  sems.at[slot, 1]),
+        )
+
+    for j in range(NBUF - 1):
+        @pl.when(j < used)
+        def _(j=j):
+            for dma in chunk_dmas(j, j):
+                dma.start()
+
+    def body(k, _):
+        slot = jax.lax.rem(k, jnp.asarray(NBUF, k.dtype))
+
+        @pl.when(k + NBUF - 1 < used)
+        def _():
+            nslot = jax.lax.rem(k + NBUF - 1, jnp.asarray(NBUF, k.dtype))
+            for dma in chunk_dmas(nslot, k + NBUF - 1):
+                dma.start()
+
+        for dma in chunk_dmas(slot, k):
+            dma.wait()
+        tids = [ct_refs[d][k] for d in range(rank)]
+        origins = [
+            (tids[d] * geom.tile[d] - geom.pad).astype(jnp.float32)
+            for d in range(rank)]
+        mats = kernel_matrices_from(c_scratch[slot], origins, geom,
+                                    beta, c, half_width, horner)
+        accumulate_spread_at(out_ref, tids, mats, v_scratch[slot],
+                             geom, batch2, 0)
+        return 0
+
+    jax.lax.fori_loop(0, used, body, 0)
+
+
 def _spread_kernel(bounds_ref, coords_hbm, values_hbm, tile_ref,
                    c_scratch, v_scratch, sems,
                    *, geom: TileGeometry, beta, c, half_width, batch2,
@@ -191,18 +360,20 @@ def _spread_kernel(bounds_ref, coords_hbm, values_hbm, tile_ref,
                                   sems.at[slot, 1]),
         )
 
-    @pl.when(start < end)
-    def _():
-        for dma in chunk_dmas(0, start):
-            dma.start()
+    for j in range(NBUF - 1):
+        @pl.when(start + j < end)
+        def _(j=j):
+            for dma in chunk_dmas(j, start + j):
+                dma.start()
 
     def body(k, _):
         d = k - start
-        slot = jax.lax.rem(d, jnp.asarray(2, d.dtype))
+        slot = jax.lax.rem(d, jnp.asarray(NBUF, d.dtype))
 
-        @pl.when(k + 1 < end)
+        @pl.when(k + NBUF - 1 < end)
         def _():
-            for dma in chunk_dmas(1 - slot, k + 1):
+            nslot = jax.lax.rem(d + NBUF - 1, jnp.asarray(NBUF, d.dtype))
+            for dma in chunk_dmas(nslot, k + NBUF - 1):
                 dma.start()
 
         for dma in chunk_dmas(slot, k):
@@ -216,41 +387,102 @@ def _spread_kernel(bounds_ref, coords_hbm, values_hbm, tile_ref,
     jax.lax.fori_loop(start, end, body, 0)
 
 
-def spread_pallas_tiles(strengths: jax.Array, points_resc,
-                        plan: NufftPlan):
-    """[B2, M] real strengths + rescaled points (or (hi, lo) pair) ->
-    ([*tiles, B2, *ext] extended tile blocks, geom)."""
+def spread_pallas_tiles(strengths_pm: jax.Array, points_resc,
+                        plan: NufftPlan, binned=None, mats=None):
+    """[M, B2] points-major real strengths + rescaled points (or
+    (hi, lo) pair) -> ([*tiles, B2, *ext] extended tile blocks, geom).
+
+    Points-major input lets all channels move in one scatter when the
+    values payload is built (see binning.build_values_payload).
+    ``binned``/``mats`` (from a planned transform) skip the points-side
+    preprocessing and the in-kernel polynomial evaluation.
+    """
     m = num_points_of(points_resc)
-    batch2 = strengths.shape[0]
+    batch2 = strengths_pm.shape[1]
     geom = choose_geometry(plan.fine_shape, plan.width, m)
     rank = geom.rank
-    binned = bin_points(points_resc, geom)
-    coords_pl = build_coords_payload(binned, geom)
+    if binned is None:
+        binned = bin_points(points_resc, geom)
+    coords_pl = None
+    if mats is None or not resident_fits(geom, min(batch2, MAX_CHANNELS)):
+        coords_pl = build_coords_payload(binned, geom)
 
     if batch2 > MAX_CHANNELS:
         groups = []
         for i in range(0, batch2, MAX_CHANNELS):
             g_tiles, _ = _spread_group(
-                strengths[i:i + MAX_CHANNELS], binned, coords_pl, geom,
-                plan)
+                strengths_pm[:, i:i + MAX_CHANNELS], binned, coords_pl,
+                geom, plan, mats)
             groups.append(g_tiles)
         return jnp.concatenate(groups, axis=rank), geom
-    tiles, _ = _spread_group(strengths, binned, coords_pl, geom, plan)
+    tiles, _ = _spread_group(strengths_pm, binned, coords_pl, geom,
+                             plan, mats)
     return tiles, geom
 
 
-def _spread_group(strengths, binned, coords_pl, geom: TileGeometry,
-                  plan: NufftPlan):
-    batch2 = strengths.shape[0]
+def _spread_group(strengths_pm, binned, coords_pl, geom: TileGeometry,
+                  plan: NufftPlan, mats=None):
+    batch2 = strengths_pm.shape[1]
     rank = geom.rank
-    values_pl = build_values_payload(strengths, binned, geom)
-
-    kernel = functools.partial(
-        _spread_kernel, geom=geom,
-        beta=np.float32(plan.beta), c=np.float32(plan.c),
+    values_pl = build_values_payload(strengths_pm, binned, geom)
+    common = dict(
+        geom=geom, beta=np.float32(plan.beta), c=np.float32(plan.c),
         half_width=np.float32(plan.half_width), batch2=batch2,
         horner=horner_static(plan))
+    out_shape = jax.ShapeDtypeStruct(
+        geom.tiles + (batch2,) + geom.ext, jnp.float32)
 
+    # Planned path: precomputed kernel matrices (pure DMA + MXU kernel).
+    # Not the default because XLA does not hoist the ~100 MB matrix
+    # build out of user iteration loops; the planned API computes it
+    # eagerly once (see planar.PlannedNufft).
+    if mats is not None and resident_fits(geom, batch2):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1 + rank,
+            grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (rank + 1),
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=(
+                [pltpu.VMEM((NBUF, geom.chunk,
+                             -(-geom.ext[d] // 128) * 128),
+                            jnp.float32) for d in range(rank)]
+                + [pltpu.VMEM((NBUF,) + values_pl.shape[1:],
+                              jnp.float32),
+                   pltpu.SemaphoreType.DMA((NBUF, rank + 1))]),
+        )
+        tiles = pl.pallas_call(
+            functools.partial(_spread_kernel_resident_mats,
+                              geom=geom, batch2=batch2),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=use_interpret(),
+        )(binned.tile_bounds, *binned.chunk_tidx, *mats, values_pl)
+        return tiles, geom
+
+    payload_scratch = [
+        pltpu.VMEM((NBUF,) + coords_pl.shape[1:], jnp.float32),
+        pltpu.VMEM((NBUF,) + values_pl.shape[1:], jnp.float32),
+        pltpu.SemaphoreType.DMA((NBUF, 2)),
+    ]
+
+    if resident_fits(geom, batch2):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1 + rank,    # bounds + per-axis tile ids
+            grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=payload_scratch,
+        )
+        tiles = pl.pallas_call(
+            functools.partial(_spread_kernel_resident, **common),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=use_interpret(),
+        )(binned.tile_bounds, *binned.chunk_tidx, coords_pl, values_pl)
+        return tiles, geom
+
+    kernel = functools.partial(_spread_kernel, **common)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,                   # tile chunk bounds
         grid=geom.tiles,
@@ -260,17 +492,12 @@ def _spread_group(strengths, binned, coords_pl, geom: TileGeometry,
             (1,) * rank + (batch2,) + geom.ext,
             lambda *ids: tuple(ids[:len(geom.tiles)]) + (0,) * (rank + 1),
             memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2,) + coords_pl.shape[1:], jnp.float32),
-            pltpu.VMEM((2,) + values_pl.shape[1:], jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        scratch_shapes=payload_scratch,
     )
     tiles = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            geom.tiles + (batch2,) + geom.ext, jnp.float32),
+        out_shape=out_shape,
         interpret=use_interpret(),
     )(binned.tile_bounds, coords_pl, values_pl)
     return tiles, geom
@@ -281,5 +508,5 @@ def spread_pallas(strengths: jax.Array, points_resc,
     """[B2, M] real strengths + [M, rank] rescaled points (or (hi, lo)
     pair) -> [B2, *fine_shape] fine grid."""
     tiles, geom = spread_pallas_tiles(
-        strengths.astype(jnp.float32), points_resc, plan)
+        strengths.T.astype(jnp.float32), points_resc, plan)
     return overlap_add(tiles, geom).astype(strengths.dtype)

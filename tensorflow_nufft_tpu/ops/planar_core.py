@@ -63,9 +63,12 @@ def _execute_planar(source: jax.Array, points: jax.Array,
     if spec.transform_type == "type_1":
         if use_tiled:
             # Spread to per-tile blocks; overlap-add + DFT + truncation
-            # + deconvolution all fused into one contraction.
+            # + deconvolution all fused into one contraction. Points-
+            # major [M, 2B] input: row (b, ch) order matches _fold's.
+            src_pm = jnp.swapaxes(source, 0, 1).reshape(
+                source.shape[1], 2 * batch)
             tiles, geom = dispatch.spread_tiled(
-                _fold(source), points_resc, plan)
+                src_pm, points_resc, plan)
             out = dft_truncate_deconvolve_tiled(tiles, plan, geom, batch)
             return out.astype(source.dtype)
         fine = dispatch.spread(_fold(source), points_resc, plan)

@@ -149,3 +149,58 @@ def test_binning_exactness_guard():
     assert not binning.ranking_is_exact(geom)
     with pytest.raises(ValueError, match="2\\*\\*24"):
         binning.bin_points(jnp.zeros((40_000_000, 2), jnp.float32), geom)
+
+
+class TestPlannedNufft:
+    """PlannedNufft (planned path forced via backend='pallas') matches
+    the unplanned pipeline, including gradients."""
+
+    def _setup(self, transform_type, rng):
+        grid = (16, 16)
+        m = 200
+        pts = random_points(rng, (m, 2), np.float32)
+        if transform_type == "type_1":
+            src = rng.standard_normal((2, m, 2)).astype(np.float32)
+        else:
+            src = rng.standard_normal((2,) + grid + (2,)).astype(
+                np.float32)
+        return grid, pts, src
+
+    @pytest.mark.parametrize("transform_type", ["type_1", "type_2"])
+    def test_matches_unplanned(self, rng, transform_type):
+        grid, pts, src = self._setup(transform_type, rng)
+        opts = tfft.Options(backend="pallas")
+        op = tfft.planar.PlannedNufft(
+            pts, grid, transform_type=transform_type, options=opts)
+        assert op._planned
+        got = np.asarray(op(src))
+        ref = np.asarray(tfft.planar.nufft(
+            src, pts, grid_shape=grid, transform_type=transform_type))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4 * np.abs(ref).max())
+
+    def test_gradient_matches(self, rng):
+        grid, pts, src = self._setup("type_2", rng)
+        opts = tfft.Options(backend="pallas")
+        op = tfft.planar.PlannedNufft(pts, grid, transform_type="type_2",
+                                      options=opts)
+
+        def loss_planned(x):
+            return jnp.sum(op(x) ** 2)
+
+        def loss_ref(x):
+            y = tfft.planar.nufft(x, pts, grid_shape=grid,
+                                  transform_type="type_2")
+            return jnp.sum(y ** 2)
+
+        g1 = np.asarray(jax.grad(loss_planned)(jnp.asarray(src)))
+        g2 = np.asarray(jax.grad(loss_ref)(jnp.asarray(src)))
+        np.testing.assert_allclose(g1, g2, rtol=1e-3,
+                                   atol=1e-3 * np.abs(g2).max())
+
+    def test_fallback_off_pallas(self, rng):
+        grid, pts, src = self._setup("type_2", rng)
+        op = tfft.planar.PlannedNufft(pts, grid, transform_type="type_2")
+        # default backend on CPU: unplanned fallback, still correct
+        got = np.asarray(op(src))
+        ref = np.asarray(tfft.planar.nufft(src, pts, grid_shape=grid))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
