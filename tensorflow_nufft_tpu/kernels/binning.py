@@ -73,8 +73,9 @@ _TILE_PREFS = {
     2: (64, 96, 128, 160, 192, 256, 320, 32, 16),
     3: (32, 40, 48, 64, 24, 16, 80, 96, 128, 8, 10, 12),
 }
-# Leading (sublane-ish) axis of 3D tiles can be small.
-_TILE_PREFS_3D_LEAD = (8, 16, 10, 12, 4, 24, 32, 6, 40, 64, 2)
+# Leading (sublane-ish) axis of 3D tiles can be small (multiples of 8
+# so extended dims stay sublane-aligned).
+_TILE_PREFS_3D_LEAD = (8, 16, 24, 32, 40, 64, 48, 96, 128)
 
 
 # Process-wide tuning overrides (benchmarking/experiments). Keys:
@@ -107,7 +108,10 @@ def choose_geometry(fine_shape: Sequence[int], width: int,
     chunk = chunk or _GEOMETRY_OVERRIDES["chunk"]
     tile_pref = tile_pref or _GEOMETRY_OVERRIDES["tile_pref"]
     rank = len(fine_shape)
-    pad = width // 2 + 1
+    # Halo covering the kernel footprint, rounded up to a multiple of 4
+    # so extended dims stay sublane-aligned (E = tile + 2*pad with tiles
+    # chosen as multiples of 8): DMA slices need 8-sublane alignment.
+    pad = -(-(width // 2 + 1) // 4) * 4
     tile = []
     for d, nf in enumerate(fine_shape):
         if rank == 3 and d == 0:
@@ -362,17 +366,28 @@ def build_values_payload(values_pm: jax.Array, binned: BinnedPoints,
     return pay
 
 
+def mats_supported(geom: TileGeometry) -> bool:
+    """Whether the precomputed-matrix payload layout is valid: extended
+    dims must be 8-sublane aligned for the [E, C] chunk DMAs."""
+    return all(e % 8 == 0 for e in geom.ext) and geom.chunk % 128 == 0
+
+
 def build_kernel_matrix_payload(binned: BinnedPoints,
                                 geom: TileGeometry, plan):
     """Precomputed per-chunk ES kernel matrices, one per axis.
 
-    Returns a tuple of [NC, C, E_d] float32 arrays with
-    ``mats[d][k, c, e] = phi(e + origin_d(k) - s_c^d)``. They depend only
-    on the points (not the strengths), so in iterative algorithms XLA
-    hoists them out of the loop alongside the binning — turning the
-    Pallas spread/interp kernels into pure DMA + MXU streams (the
-    in-kernel VPU polynomial evaluation otherwise dominates at ~2 us per
-    chunk). Sentinel slots evaluate to exactly zero.
+    Returns a tuple of [NC, E_d, C] float32 arrays with
+    ``mats[d][k, e, c] = phi(e + origin_d(k) - s_c^d)``. The [E, C]
+    orientation makes the per-chunk DMA slice both sublane- (E % 8 == 0,
+    see choose_geometry) and lane-aligned (C % 128 == 0) with no pad
+    bytes, and lets the strengths enter the accumulation matmuls as
+    lane-vector broadcasts (no per-chunk transposes).
+
+    The matrices depend only on the points (not the strengths), so a
+    planned transform computes them once — turning the Pallas
+    spread/interp kernels into pure DMA + MXU streams (in-kernel VPU
+    polynomial evaluation otherwise dominates at ~2 us per chunk).
+    Sentinel slots evaluate to exactly zero.
     """
     from tensorflow_nufft_tpu.kernels.xla_ops import es_kernel_for
     rank = geom.rank
@@ -383,12 +398,8 @@ def build_kernel_matrix_payload(binned: BinnedPoints,
                   * float(geom.tile[d]) - float(geom.pad))   # [NC]
         s_hi = coords[:, d, :] - origin[:, None]             # [NC, C]
         s_lo = coords[:, rank + d, :]
-        # Lane-pad E to 128 (DMA slices must be lane-aligned); the
-        # kernel slices back to E. Padded offsets are outside the
-        # support, so they evaluate to zero anyway.
-        e_pad = -(-geom.ext[d] // 128) * 128
-        e = jnp.arange(e_pad, dtype=jnp.float32)
-        z = (e[None, None, :] - s_hi[:, :, None]) - s_lo[:, :, None]
+        e = jnp.arange(geom.ext[d], dtype=jnp.float32)
+        z = (e[None, :, None] - s_hi[:, None, :]) - s_lo[:, None, :]
         mats.append(es_kernel_for(z, plan))
     return tuple(mats)
 

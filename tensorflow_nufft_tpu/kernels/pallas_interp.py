@@ -76,32 +76,35 @@ def _interp_chunk_values(tile_ref, mats, geom: TileGeometry,
     return jnp.stack(outs, axis=0)
 
 
-def _interp_chunk_values_at(tile_ref, tids, mats, geom: TileGeometry,
-                            batch2: int):
-    """_interp_chunk_values with dynamic leading tile indices."""
+def _interp_chunk_values_mats_t(tile_ref, tids, mats_t,
+                                geom: TileGeometry, batch2: int):
+    """Per-chunk interp from transposed [E, C] kernel matrices with
+    dynamic leading tile indices. Output rows are [C]-lane vectors, so
+    no transposes appear anywhere in the chunk loop."""
     rank = geom.rank
     outs = []
     for b in range(batch2):             # static unroll over channels
         if rank == 1:
             f_tile = tile_ref[tids[0], b, :]                # [E]
-            outs.append(jnp.sum(mats[0] * f_tile[None, :], axis=1))
+            outs.append(
+                jnp.sum(mats_t[0] * f_tile[:, None], axis=0))   # [C]
         elif rank == 2:
             f_tile = tile_ref[tids[0], tids[1], b]          # [Ey, Ex]
-            t = jax.lax.dot_general(
-                mats[0], f_tile, (((1,), (0,)), ((), ())),
+            v = jax.lax.dot_general(
+                f_tile, mats_t[1], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=_MXU_PRECISION)                    # [C, Ex]
-            outs.append(jnp.sum(t * mats[1], axis=1))
+                precision=_MXU_PRECISION)                    # [Ey, C]
+            outs.append(jnp.sum(mats_t[0] * v, axis=0))      # [C]
         else:
-            acc = jnp.zeros((mats[0].shape[0],), jnp.float32)
+            acc = jnp.zeros((geom.chunk,), jnp.float32)
             for ez in range(geom.ext[0]):   # z-planes, static unroll
                 f_tile = tile_ref[tids[0], tids[1], tids[2], b, ez]
-                t = jax.lax.dot_general(
-                    mats[1], f_tile, (((1,), (0,)), ((), ())),
+                v = jax.lax.dot_general(
+                    f_tile, mats_t[2], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=_MXU_PRECISION)                # [C, Ex]
-                acc = acc + mats[0][:, ez] * jnp.sum(t * mats[2],
-                                                     axis=1)
+                    precision=_MXU_PRECISION)                # [Ey, C]
+                acc = acc + mats_t[0][ez, :] * jnp.sum(mats_t[1] * v,
+                                                       axis=0)
             outs.append(acc)
     return jnp.stack(outs, axis=0)
 
@@ -154,13 +157,13 @@ def _interp_kernel_resident_mats(*refs, geom: TileGeometry, batch2):
         for dma in chunk_dmas(slot, k):
             dma.wait()
         tids = [ct_refs[d][k] for d in range(rank)]
-        mats = [m_scratch[d][slot][:, :geom.ext[d]] for d in range(rank)]
+        mats_t = [m_scratch[d][slot] for d in range(rank)]
 
         @pl.when(k >= 2)
         def _():
             write_dma(oslot, k - 2).wait()
-        out_scratch[oslot] = _interp_chunk_values_at(
-            tile_ref, tids, mats, geom, batch2)
+        out_scratch[oslot] = _interp_chunk_values_mats_t(
+            tile_ref, tids, mats_t, geom, batch2)
         write_dma(oslot, k).start()
         return 0
 
@@ -240,16 +243,24 @@ def interp_pallas_tiled(tiles: jax.Array, points_resc,
     contraction by amplify_pad_dft_tiled, or done by extend_tiles).
     ``binned``/``mats`` (from a planned transform) skip the points-side
     preprocessing and the in-kernel polynomial evaluation."""
-    from tensorflow_nufft_tpu.kernels.pallas_spread import MAX_CHANNELS
+    from tensorflow_nufft_tpu.kernels.pallas_spread import (
+        MAX_CHANNELS, resident_group_size)
     rank = geom.rank
     batch2 = tiles.shape[rank]
     if binned is None:
         binned = bin_points(points_resc, geom)
-    payload = build_coords_payload(binned, geom) if mats is None else None
-    if batch2 > MAX_CHANNELS:
+    group = MAX_CHANNELS
+    if mats is not None:
+        group = resident_group_size(geom)
+    payload = None
+    if mats is None or group == 0:
+        payload = build_coords_payload(binned, geom)
+        if group == 0:
+            mats, group = None, MAX_CHANNELS
+    if batch2 > group:
         groups = []
-        for i in range(0, batch2, MAX_CHANNELS):
-            sl = (slice(None),) * rank + (slice(i, i + MAX_CHANNELS),)
+        for i in range(0, batch2, group):
+            sl = (slice(None),) * rank + (slice(i, i + group),)
             groups.append(_interp_group(tiles[sl], binned, payload,
                                         plan, geom, mats))
         return jnp.concatenate(groups, axis=0)
@@ -270,8 +281,7 @@ def _interp_group(tiles, binned, payload, plan: NufftPlan,
             + [pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=(
-                [pltpu.VMEM((NBUF, geom.chunk,
-                             -(-geom.ext[d] // 128) * 128),
+                [pltpu.VMEM((NBUF, geom.ext[d], geom.chunk),
                             jnp.float32) for d in range(rank)]
                 + [pltpu.VMEM((2, batch2, geom.chunk), jnp.float32),
                    pltpu.SemaphoreType.DMA((NBUF, rank)),

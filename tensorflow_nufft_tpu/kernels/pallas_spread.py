@@ -189,6 +189,18 @@ def resident_fits(geom: TileGeometry, batch2: int) -> bool:
     return total <= VMEM_RESIDENT_BUDGET
 
 
+def resident_group_size(geom: TileGeometry) -> int:
+    """Largest channel-group size (<= MAX_CHANNELS, multiple of 2 so
+    planar re/im pairs stay together) whose tile array stays resident;
+    0 if not even 2 channels fit."""
+    g = MAX_CHANNELS
+    while g >= 2:
+        if resident_fits(geom, g):
+            return g
+        g -= 2
+    return 0
+
+
 def accumulate_spread_at(out_ref, tids, mats, data,
                          geom: TileGeometry, batch2: int,
                          rank_offset: int):
@@ -226,12 +238,45 @@ def mats_payload_bytes(geom: TileGeometry) -> int:
     return 4 * geom.num_chunks * geom.chunk * sum(geom.ext)
 
 
+def accumulate_spread_mats_t(out_ref, tids, mats_t, data,
+                             geom: TileGeometry, batch2: int):
+    """Accumulation from transposed [E, C] kernel matrices.
+
+    The strengths rows enter as lane-vector broadcasts (data[b, :] is a
+    [C]-lane row) and the contribution is a [M, K] x [N, K] contraction
+    — no per-chunk transposes anywhere.
+    """
+    rank = geom.rank
+    dn_t = (((1,), (1,)), ((), ()))      # contract the shared C dim
+    for b in range(batch2):             # static unroll over channels
+        s_b = data[b, :][None, :]                           # [1, C]
+        if rank == 1:
+            contrib = jnp.sum(mats_t[0] * s_b, axis=1)      # [E]
+            out_ref[tids[0], b, :] += contrib
+        elif rank == 2:
+            p = mats_t[1] * s_b                             # [Ex, C]
+            contrib = jax.lax.dot_general(
+                mats_t[0], p, dn_t,
+                preferred_element_type=jnp.float32,
+                precision=_MXU_PRECISION)                    # [Ey, Ex]
+            out_ref[tids[0], tids[1], b] += contrib
+        else:
+            p = mats_t[2] * s_b                             # [Ex, C]
+            for ez in range(geom.ext[0]):   # z-planes, static unroll
+                w = mats_t[1] * mats_t[0][ez, :][None, :]   # [Ey, C]
+                contrib = jax.lax.dot_general(
+                    w, p, dn_t,
+                    preferred_element_type=jnp.float32,
+                    precision=_MXU_PRECISION)                # [Ey, Ex]
+                out_ref[tids[0], tids[1], tids[2], b, ez] += contrib
+
+
 def _spread_kernel_resident_mats(*refs, geom: TileGeometry, batch2):
     """Resident spread consuming precomputed kernel matrices.
 
     Pure DMA + MXU: the VPU polynomial evaluation lives in the hoisted
     XLA precompute (binning.build_kernel_matrix_payload); per chunk this
-    kernel only waits for the streamed [C, E_d] matrices and runs the
+    kernel only waits for the streamed [E_d, C] matrices and runs the
     accumulation matmuls.
     """
     rank = geom.rank
@@ -276,9 +321,9 @@ def _spread_kernel_resident_mats(*refs, geom: TileGeometry, batch2):
         for dma in chunk_dmas(slot, k):
             dma.wait()
         tids = [ct_refs[d][k] for d in range(rank)]
-        mats = [m_scratch[d][slot][:, :geom.ext[d]] for d in range(rank)]
-        accumulate_spread_at(out_ref, tids, mats, v_scratch[slot],
-                             geom, batch2, 0)
+        mats_t = [m_scratch[d][slot] for d in range(rank)]
+        accumulate_spread_mats_t(out_ref, tids, mats_t, v_scratch[slot],
+                                 geom, batch2)
         return 0
 
     jax.lax.fori_loop(0, used, body, 0)
@@ -403,15 +448,20 @@ def spread_pallas_tiles(strengths_pm: jax.Array, points_resc,
     rank = geom.rank
     if binned is None:
         binned = bin_points(points_resc, geom)
+    group = MAX_CHANNELS
+    if mats is not None:
+        group = resident_group_size(geom)
     coords_pl = None
-    if mats is None or not resident_fits(geom, min(batch2, MAX_CHANNELS)):
+    if mats is None or group == 0:
         coords_pl = build_coords_payload(binned, geom)
+        if group == 0:
+            mats, group = None, MAX_CHANNELS
 
-    if batch2 > MAX_CHANNELS:
+    if batch2 > group:
         groups = []
-        for i in range(0, batch2, MAX_CHANNELS):
+        for i in range(0, batch2, group):
             g_tiles, _ = _spread_group(
-                strengths_pm[:, i:i + MAX_CHANNELS], binned, coords_pl,
+                strengths_pm[:, i:i + group], binned, coords_pl,
                 geom, plan, mats)
             groups.append(g_tiles)
         return jnp.concatenate(groups, axis=rank), geom
@@ -443,8 +493,7 @@ def _spread_group(strengths_pm, binned, coords_pl, geom: TileGeometry,
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (rank + 1),
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             scratch_shapes=(
-                [pltpu.VMEM((NBUF, geom.chunk,
-                             -(-geom.ext[d] // 128) * 128),
+                [pltpu.VMEM((NBUF, geom.ext[d], geom.chunk),
                             jnp.float32) for d in range(rank)]
                 + [pltpu.VMEM((NBUF,) + values_pl.shape[1:],
                               jnp.float32),

@@ -363,10 +363,16 @@ class PlannedNufft:
         self.plan = make_plan(spec)
         self._planned = dispatch.pallas_active(
             self.plan, points.dtype, points.shape[0])
+        if self._planned:
+            from tensorflow_nufft_tpu.kernels.pallas_spread import (
+                resident_group_size)
+            geom = binning.choose_geometry(
+                self.plan.fine_shape, self.plan.width,
+                int(points.shape[0]))
+            self._planned = (binning.mats_supported(geom)
+                             and resident_group_size(geom) >= 2)
         if not self._planned:
             return
-        geom = binning.choose_geometry(
-            self.plan.fine_shape, self.plan.width, int(points.shape[0]))
         self.geom = geom
 
         @jax.jit

@@ -40,7 +40,8 @@ class TestBinning:
             for nf, t in zip(g.fine_shape, g.tile):
                 assert nf % t == 0
                 assert t >= 2 * g.pad
-            assert g.pad == w // 2 + 1
+            # pad covers the footprint, rounded up to sublane alignment
+            assert g.pad >= w // 2 + 1 and g.pad % 4 == 0
 
     @pytest.mark.parametrize("rank", [1, 2, 3])
     def test_every_point_has_slot(self, rng, rank):
