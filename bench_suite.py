@@ -40,7 +40,7 @@ def marginal_time(make_fn, args, k2=9):
 
 
 def nufft_case(name, grid_shape, num_points, transform_type,
-               batch=None, shared_points=True, k2=9):
+               batch=None, shared_points=True, k2=9, points_arr=None):
     import jax
     import jax.numpy as jnp
     import tensorflow_nufft_tpu as tfft
@@ -50,9 +50,15 @@ def nufft_case(name, grid_shape, num_points, transform_type,
     rank = len(grid_shape)
     pts_batch = () if (shared_points or batch is None) else (batch,)
     src_batch = () if batch is None else (batch,)
-    points = rng.uniform(-np.pi, np.pi,
-                         pts_batch + (num_points, rank)).astype(
-        np.float32)
+    if points_arr is not None:
+        points = np.broadcast_to(
+            points_arr.astype(np.float32),
+            pts_batch + points_arr.shape).copy()
+        num_points = points.shape[-2]
+    else:
+        points = rng.uniform(-np.pi, np.pi,
+                             pts_batch + (num_points, rank)).astype(
+            np.float32)
     if transform_type == "type_1":
         z = (rng.standard_normal(src_batch + (num_points,))
              + 1j * rng.standard_normal(src_batch + (num_points,)))
@@ -64,12 +70,23 @@ def nufft_case(name, grid_shape, num_points, transform_type,
     src = jnp.asarray(to_planar(z.astype(np.complex64)))
     pts = jnp.asarray(points)
 
+    # Shared fixed points: time the planned transform (the repeated-
+    # transform regime; falls back internally where unsupported).
+    op = None
+    if shared_points:
+        op = tfft.planar.PlannedNufft(
+            pts, grid_shape, transform_type=transform_type)
+        src_b = src if batch is not None else src[None]
+
     def make(k):
         def f(p):
             def body(i, acc):
-                out = tfft.planar.nufft(
-                    src * (1.0 + 1e-6 * i), p,
-                    transform_type=transform_type, **kwargs)
+                if op is not None:
+                    out = op(src_b * (1.0 + 1e-6 * i))
+                else:
+                    out = tfft.planar.nufft(
+                        src * (1.0 + 1e-6 * i), p,
+                        transform_type=transform_type, **kwargs)
                 return acc + out.ravel()[0]
             return jax.lax.fori_loop(0, k, body, 0.0)
         return f
@@ -81,6 +98,7 @@ def nufft_case(name, grid_shape, num_points, transform_type,
         "value": round(total_pts / per, 1),
         "unit": "points/s",
         "ms_per_transform": round(per * 1e3, 3),
+        "planned": bool(op is not None and op._planned),
     }
 
 
@@ -141,6 +159,8 @@ def main():
              None, True),
             ("3d_t1_128_800k", (128, 128, 128), 800_000, "type_1",
              None, True),
+            ("3d_t1_128_1m", (128, 128, 128), 1_000_000, "type_1",
+             None, True),
         ]
 
     for name, gs, m, tt, batch, shared in cases:
@@ -151,6 +171,20 @@ def main():
         except Exception as e:  # keep the suite going
             print(json.dumps({"metric": name, "error": str(e)[:200]}),
                   flush=True)
+
+    # BASELINE config 2: 512^2 grid, radial MRI trajectory, 8 coils
+    # sharing points, type-2.
+    if not args.quick:
+        try:
+            from tensorflow_nufft_tpu.models import mri
+            radial = np.asarray(mri.radial_trajectory(512, 1024))
+            res = nufft_case("2d_t2_512_radial_b8", (512, 512), 0,
+                             "type_2", batch=8, shared_points=True,
+                             k2=9, points_arr=radial)
+            print(json.dumps(res), flush=True)
+        except Exception as e:
+            print(json.dumps({"metric": "2d_t2_512_radial_b8",
+                              "error": str(e)[:200]}), flush=True)
     if not args.quick:
         try:
             print(json.dumps(cg_sense_case()), flush=True)

@@ -46,67 +46,46 @@ from tensorflow_nufft_tpu.plan.plan import NufftPlan
 _MXU_PRECISION = jax.lax.Precision.HIGHEST
 
 
-def _interp_chunk_values(tile_ref, mats, geom: TileGeometry,
-                         batch2: int):
-    """[B2, C] values of one chunk from the resident tile block."""
+def chunk_interp_values(f_block, mats_t, geom: TileGeometry):
+    """One channel's [C] chunk values from [E_d, C] kernel matrices and
+    an extended block ``f_block`` [*ext]. Output is a [C]-lane row (no
+    transposes); rank 3 folds z and y with one Khatri-Rao product, so
+    there is a single contraction per channel."""
     rank = geom.rank
-    outs = []
-    for b in range(batch2):             # static unroll over channels
-        if rank == 1:
-            f_tile = tile_ref[0, b, :]                      # [E]
-            outs.append(jnp.sum(mats[0] * f_tile[None, :], axis=1))
-        elif rank == 2:
-            f_tile = tile_ref[0, 0, b]                      # [Ey, Ex]
-            t = jax.lax.dot_general(
-                mats[0], f_tile, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_MXU_PRECISION)                    # [C, Ex]
-            outs.append(jnp.sum(t * mats[1], axis=1))
-        else:
-            acc = jnp.zeros((mats[0].shape[0],), jnp.float32)
-            for ez in range(geom.ext[0]):   # z-planes, static unroll
-                f_tile = tile_ref[0, 0, 0, b, ez]           # [Ey, Ex]
-                t = jax.lax.dot_general(
-                    mats[1], f_tile, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=_MXU_PRECISION)                # [C, Ex]
-                acc = acc + mats[0][:, ez] * jnp.sum(t * mats[2],
-                                                     axis=1)
-            outs.append(acc)
-    return jnp.stack(outs, axis=0)
+    if rank == 1:
+        return jnp.sum(mats_t[0] * f_block[:, None], axis=0)
+    if rank == 2:
+        v = jax.lax.dot_general(
+            f_block, mats_t[1], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_MXU_PRECISION)                        # [Ey, C]
+        return jnp.sum(mats_t[0] * v, axis=0)                # [C]
+    e0, e1, e2 = geom.ext
+    f2 = f_block.reshape(e0 * e1, e2)                        # [ZY, Ex]
+    v = jax.lax.dot_general(
+        f2, mats_t[2], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_MXU_PRECISION)                            # [ZY, C]
+    w = (mats_t[0][:, None, :] * mats_t[1][None, :, :]).reshape(
+        e0 * e1, -1)                                         # [ZY, C]
+    return jnp.sum(w * v, axis=0)                            # [C]
+
+
+def _interp_chunk_values(tile_ref, mats_t, geom: TileGeometry,
+                         batch2: int):
+    """[B2, C] values of one chunk from the (single-tile) block."""
+    rank = geom.rank
+    return jnp.stack([
+        chunk_interp_values(tile_ref[(0,) * rank + (b,)], mats_t, geom)
+        for b in range(batch2)], axis=0)
 
 
 def _interp_chunk_values_mats_t(tile_ref, tids, mats_t,
                                 geom: TileGeometry, batch2: int):
-    """Per-chunk interp from transposed [E, C] kernel matrices with
-    dynamic leading tile indices. Output rows are [C]-lane vectors, so
-    no transposes appear anywhere in the chunk loop."""
-    rank = geom.rank
-    outs = []
-    for b in range(batch2):             # static unroll over channels
-        if rank == 1:
-            f_tile = tile_ref[tids[0], b, :]                # [E]
-            outs.append(
-                jnp.sum(mats_t[0] * f_tile[:, None], axis=0))   # [C]
-        elif rank == 2:
-            f_tile = tile_ref[tids[0], tids[1], b]          # [Ey, Ex]
-            v = jax.lax.dot_general(
-                f_tile, mats_t[1], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_MXU_PRECISION)                    # [Ey, C]
-            outs.append(jnp.sum(mats_t[0] * v, axis=0))      # [C]
-        else:
-            acc = jnp.zeros((geom.chunk,), jnp.float32)
-            for ez in range(geom.ext[0]):   # z-planes, static unroll
-                f_tile = tile_ref[tids[0], tids[1], tids[2], b, ez]
-                v = jax.lax.dot_general(
-                    f_tile, mats_t[2], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=_MXU_PRECISION)                # [Ey, C]
-                acc = acc + mats_t[0][ez, :] * jnp.sum(mats_t[1] * v,
-                                                       axis=0)
-            outs.append(acc)
-    return jnp.stack(outs, axis=0)
+    """_interp_chunk_values with dynamic leading tile indices."""
+    return jnp.stack([
+        chunk_interp_values(tile_ref[tuple(tids) + (b,)], mats_t, geom)
+        for b in range(batch2)], axis=0)
 
 
 def _interp_kernel_resident_mats(*refs, geom: TileGeometry, batch2):

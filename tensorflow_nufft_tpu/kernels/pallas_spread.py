@@ -77,17 +77,22 @@ def num_points_of(points_resc) -> int:
 
 def es_kernel_matrix(num_offsets: int, s_hi: jax.Array, s_lo: jax.Array,
                      beta, c, half_width, horner=None):
-    """[C] window centers -> [C, E] matrix phi(e - s_m) over integer
+    """[C] window centers -> [E, C] matrix phi(e - s_m) over integer
     offsets e in [0, E); exactly zero outside |z| < half_width. The
     center is the two-float pair (s_hi, s_lo) so the kernel argument
     keeps full coordinate precision (see fold_and_rescale_split).
+
+    Orientation: offsets along sublanes, points along lanes — the
+    centers (lane rows of the payload) broadcast without transposes,
+    and merging the leading E dims (the rank-3 Khatri-Rao fold) is a
+    layout-free reshape.
 
     With ``horner`` (the plan's fitted polynomial in t = 2(2z/w)^2 - 1,
     ascending coefficients), evaluation is transcendental-free and ~3x
     more accurate in f32 (see plan.fit_horner_coeffs)."""
     offsets = jax.lax.broadcasted_iota(
-        jnp.int32, (s_hi.shape[0], num_offsets), 1).astype(jnp.float32)
-    z = (offsets - s_hi[:, None]) - s_lo[:, None]
+        jnp.int32, (num_offsets, s_hi.shape[0]), 0).astype(jnp.float32)
+    z = (offsets - s_hi[None, :]) - s_lo[None, :]
     if horner is not None:
         c2 = np.float32(2.0 / (float(half_width) * float(half_width)))
         t = z * z * c2 - np.float32(1.0)
@@ -104,7 +109,7 @@ def es_kernel_matrix(num_offsets: int, s_hi: jax.Array, s_lo: jax.Array,
 
 def kernel_matrices_from(data, origins, geom: TileGeometry, beta, c,
                          half_width, horner=None):
-    """Per-axis [C, E_d] kernel matrices from a payload chunk.
+    """Per-axis [E_d, C] kernel matrices from a payload chunk.
 
     data: [R, C] chunk (rows 0..rank-1 hi words, rank..2rank-1 lo).
     origins: per-axis extended-tile origin (tile_idx * tile - pad).
@@ -119,6 +124,36 @@ def kernel_matrices_from(data, origins, geom: TileGeometry, beta, c,
     return mats
 
 
+def chunk_contribution(mats_t, s_row, geom: TileGeometry):
+    """One channel's spread contribution from [E_d, C] matrices and a
+    [C]-lane strengths row.
+
+    Returns [E0] (rank 1), [Ey, Ex] (rank 2) or [Ez, Ey, Ex] (rank 3).
+    Rank 3 folds the z and y factors with a Khatri-Rao product into ONE
+    [Ez*Ey, C] x [Ex, C] contraction — one big matmul instead of Ez
+    unrolled small ones (better MXU utilization, far smaller compile
+    graph).
+    """
+    rank = geom.rank
+    dn = (((1,), (1,)), ((), ()))        # contract the shared C dim
+    s = s_row[None, :]
+    if rank == 1:
+        return jnp.sum(mats_t[0] * s, axis=1)
+    if rank == 2:
+        p = mats_t[1] * s                                   # [Ex, C]
+        return jax.lax.dot_general(
+            mats_t[0], p, dn, preferred_element_type=jnp.float32,
+            precision=_MXU_PRECISION)                        # [Ey, Ex]
+    e0, e1, e2 = geom.ext
+    w = (mats_t[0][:, None, :] * mats_t[1][None, :, :]).reshape(
+        e0 * e1, -1)                                        # [ZY, C]
+    p = mats_t[2] * s                                       # [Ex, C]
+    out = jax.lax.dot_general(
+        w, p, dn, preferred_element_type=jnp.float32,
+        precision=_MXU_PRECISION)                            # [ZY, Ex]
+    return out.reshape(e0, e1, e2)
+
+
 def horner_static(plan: NufftPlan):
     """The plan's Horner coefficients as a hashable static kernel arg
     (tuple of floats), or None."""
@@ -127,34 +162,15 @@ def horner_static(plan: NufftPlan):
     return tuple(float(a) for a in plan.horner)
 
 
-def accumulate_spread(tile_ref, mats, data, geom: TileGeometry,
+def accumulate_spread(tile_ref, mats_t, data, geom: TileGeometry,
                       batch2: int, rank_offset: int):
-    """Adds one chunk's contribution into the output tile block.
-
-    data rows [rank_offset + b] are the per-channel strengths.
-    """
+    """Adds one chunk's contribution into the (single-tile) output
+    block. data rows [rank_offset + b] are the per-channel strengths."""
     rank = geom.rank
     for b in range(batch2):             # static unroll over channels
-        s_b = data[rank_offset + b, :][:, None]
-        if rank == 1:
-            contrib = jnp.sum(mats[0] * s_b, axis=0)
-            tile_ref[0, b, :] += contrib
-        elif rank == 2:
-            p = mats[1] * s_b                               # [C, Ex]
-            contrib = jax.lax.dot_general(
-                mats[0], p, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_MXU_PRECISION)                    # [Ey, Ex]
-            tile_ref[0, 0, b] += contrib
-        else:
-            p = mats[2] * s_b                               # [C, Ex]
-            for ez in range(geom.ext[0]):   # z-planes, static unroll
-                w = mats[1] * mats[0][:, ez][:, None]       # [C, Ey]
-                contrib = jax.lax.dot_general(
-                    w, p, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=_MXU_PRECISION)                # [Ey, Ex]
-                tile_ref[0, 0, 0, b, ez] += contrib
+        contrib = chunk_contribution(mats_t, data[rank_offset + b, :],
+                                     geom)
+        tile_ref[(0,) * rank + (b,)] += contrib
 
 
 def _tile_origins(geom: TileGeometry):
@@ -178,8 +194,10 @@ def _linear_tile_id(geom: TileGeometry):
 NBUF = 4
 
 # VMEM budget for holding the entire tile array resident in one program
-# (v5e has ~16 MB; leave room for payload scratch + pipeline buffers).
-VMEM_RESIDENT_BUDGET = 8 * 2 ** 20
+# (v5e has ~16 MB; leave room for payload scratch + pipeline buffers —
+# those stay under ~1.5 MB, so 12 MB of tiles is safe and admits a
+# 512^2-grid planar pair).
+VMEM_RESIDENT_BUDGET = 12 * 2 ** 20
 
 
 def resident_fits(geom: TileGeometry, batch2: int) -> bool:
@@ -201,32 +219,14 @@ def resident_group_size(geom: TileGeometry) -> int:
     return 0
 
 
-def accumulate_spread_at(out_ref, tids, mats, data,
+def accumulate_spread_at(out_ref, tids, mats_t, data,
                          geom: TileGeometry, batch2: int,
                          rank_offset: int):
     """accumulate_spread with dynamic leading tile indices ``tids``."""
-    rank = geom.rank
     for b in range(batch2):             # static unroll over channels
-        s_b = data[rank_offset + b, :][:, None]
-        if rank == 1:
-            contrib = jnp.sum(mats[0] * s_b, axis=0)
-            out_ref[tids[0], b, :] += contrib
-        elif rank == 2:
-            p = mats[1] * s_b                               # [C, Ex]
-            contrib = jax.lax.dot_general(
-                mats[0], p, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_MXU_PRECISION)                    # [Ey, Ex]
-            out_ref[tids[0], tids[1], b] += contrib
-        else:
-            p = mats[2] * s_b                               # [C, Ex]
-            for ez in range(geom.ext[0]):   # z-planes, static unroll
-                w = mats[1] * mats[0][:, ez][:, None]       # [C, Ey]
-                contrib = jax.lax.dot_general(
-                    w, p, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=_MXU_PRECISION)                # [Ey, Ex]
-                out_ref[tids[0], tids[1], tids[2], b, ez] += contrib
+        contrib = chunk_contribution(mats_t, data[rank_offset + b, :],
+                                     geom)
+        out_ref[tuple(tids) + (b,)] += contrib
 
 
 # HBM budget for precomputed kernel-matrix payloads (build_kernel_
@@ -236,39 +236,6 @@ MATS_BYTES_BUDGET = 512 * 2 ** 20
 
 def mats_payload_bytes(geom: TileGeometry) -> int:
     return 4 * geom.num_chunks * geom.chunk * sum(geom.ext)
-
-
-def accumulate_spread_mats_t(out_ref, tids, mats_t, data,
-                             geom: TileGeometry, batch2: int):
-    """Accumulation from transposed [E, C] kernel matrices.
-
-    The strengths rows enter as lane-vector broadcasts (data[b, :] is a
-    [C]-lane row) and the contribution is a [M, K] x [N, K] contraction
-    — no per-chunk transposes anywhere.
-    """
-    rank = geom.rank
-    dn_t = (((1,), (1,)), ((), ()))      # contract the shared C dim
-    for b in range(batch2):             # static unroll over channels
-        s_b = data[b, :][None, :]                           # [1, C]
-        if rank == 1:
-            contrib = jnp.sum(mats_t[0] * s_b, axis=1)      # [E]
-            out_ref[tids[0], b, :] += contrib
-        elif rank == 2:
-            p = mats_t[1] * s_b                             # [Ex, C]
-            contrib = jax.lax.dot_general(
-                mats_t[0], p, dn_t,
-                preferred_element_type=jnp.float32,
-                precision=_MXU_PRECISION)                    # [Ey, Ex]
-            out_ref[tids[0], tids[1], b] += contrib
-        else:
-            p = mats_t[2] * s_b                             # [Ex, C]
-            for ez in range(geom.ext[0]):   # z-planes, static unroll
-                w = mats_t[1] * mats_t[0][ez, :][None, :]   # [Ey, C]
-                contrib = jax.lax.dot_general(
-                    w, p, dn_t,
-                    preferred_element_type=jnp.float32,
-                    precision=_MXU_PRECISION)                # [Ey, Ex]
-                out_ref[tids[0], tids[1], tids[2], b, ez] += contrib
 
 
 def _spread_kernel_resident_mats(*refs, geom: TileGeometry, batch2):
@@ -322,8 +289,8 @@ def _spread_kernel_resident_mats(*refs, geom: TileGeometry, batch2):
             dma.wait()
         tids = [ct_refs[d][k] for d in range(rank)]
         mats_t = [m_scratch[d][slot] for d in range(rank)]
-        accumulate_spread_mats_t(out_ref, tids, mats_t, v_scratch[slot],
-                                 geom, batch2)
+        accumulate_spread_at(out_ref, tids, mats_t, v_scratch[slot],
+                             geom, batch2, 0)
         return 0
 
     jax.lax.fori_loop(0, used, body, 0)

@@ -182,6 +182,14 @@ def es_kernel_for(z: jax.Array, plan) -> jax.Array:
     return es_kernel(z, plan.beta, plan.c, plan.half_width)
 
 
+def _match_vma(init: jax.Array, like: jax.Array) -> jax.Array:
+    """Marks a fresh (zeros) scan carry as varying over the same
+    shard_map manual axes as ``like``, so carry-in and carry-out types
+    agree under shard_map's vma check (no-op outside shard_map)."""
+    vma = jax.typeof(like).vma
+    return jax.lax.pvary(init, tuple(vma)) if vma else init
+
+
 def spread_geometry(points_resc, plan: NufftPlan
                     ) -> Tuple[Tuple[jax.Array, ...], Tuple[jax.Array, ...]]:
     """Per-dimension spreading indices and kernel values.
@@ -251,7 +259,9 @@ def spread_xla(strengths: jax.Array, indices, kernels,
     batch = strengths.shape[0]
     fine_flat_size = plan.fine_size
     strides = _flat_strides(plan.fine_shape)
-    out = jnp.zeros((batch, fine_flat_size), dtype=strengths.dtype)
+    out = _match_vma(
+        jnp.zeros((batch, fine_flat_size), dtype=strengths.dtype),
+        strengths)
 
     if rank == 1:
         vals = strengths[:, :, None] * kernels[0][None].astype(strengths.dtype)
@@ -307,7 +317,8 @@ def interp_xla(fine: jax.Array, indices, kernels,
         return jnp.sum(vals * kernels[0][None].astype(fine.dtype), axis=-1)
 
     num_combos = width ** (rank - 1)
-    acc0 = jnp.zeros((batch, num_points), dtype=fine.dtype)
+    acc0 = _match_vma(
+        jnp.zeros((batch, num_points), dtype=fine.dtype), fine)
 
     def body(carry, combo):
         if rank == 2:

@@ -25,7 +25,8 @@ from tensorflow_nufft_tpu.ops.core import (
     nufft_core_raw,
 )
 from tensorflow_nufft_tpu.options.options import Options
-from tensorflow_nufft_tpu.plan.plan import PlanSpec
+from tensorflow_nufft_tpu.plan.plan import (
+    PlanSpec, auto_max_batch_size, warn_if_tol_clamped)
 from tensorflow_nufft_tpu.utils.dtypes import real_dtype
 
 _VALID_TRANSFORM_TYPES = ("type_1", "type_2")
@@ -249,8 +250,12 @@ def nufft(source,
         upsampling_factor=options.upsampling_factor,
         backend=options.backend,
     )
+    warn_if_tol_clamped(tol, spec.dtype_name, options.show_warnings)
+    max_bs = options.max_batch_size
+    if max_bs is None:
+        max_bs = auto_max_batch_size(spec)
     out = _apply_batched(nufft_core, source, points, spec, elem_rank,
-                         out_elem_shape, options.max_batch_size)
+                         out_elem_shape, max_bs)
     if options.debugging.check_points_range:
         out = _poison_if_out_of_range(out, points, options)
     return out
@@ -366,8 +371,12 @@ def _spread_or_interp(transform_type, source, points, grid_shape, tol,
         upsampling_factor=None,
         backend=options.backend,
     )
+    warn_if_tol_clamped(tol, spec.dtype_name, options.show_warnings)
+    max_bs = options.max_batch_size
+    if max_bs is None:
+        max_bs = auto_max_batch_size(spec)
     return _apply_batched(nufft_core_raw, source, points, spec, elem_rank,
-                          out_elem_shape, options.max_batch_size)
+                          out_elem_shape, max_bs)
 
 
 def nudft(source,

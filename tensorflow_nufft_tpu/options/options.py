@@ -135,6 +135,10 @@ class Options(pydantic.BaseModel):
             custom VJP).
         upsampling_factor: TPU extension. Optional override of the fine-grid
             oversampling factor sigma (> 1.0); None selects automatically.
+        show_warnings: bool. Emit Python warnings for silently adjusted
+            parameters (e.g. a requested tolerance below machine
+            precision being clamped). Mirrors the reference's
+            show_warnings internal option (nufft_options.h:102-103).
     """
     model_config = pydantic.ConfigDict(validate_assignment=True)
 
@@ -145,6 +149,7 @@ class Options(pydantic.BaseModel):
     points_range: PointsRange = PointsRange.EXTENDED
     backend: str = "auto"
     upsampling_factor: Optional[float] = None
+    show_warnings: bool = True
 
     @pydantic.field_validator("max_batch_size")
     @classmethod
@@ -177,6 +182,12 @@ class Options(pydantic.BaseModel):
         if self.max_batch_size is not None:
             pb.max_batch_size = self.max_batch_size
         pb.points_range = int(self.points_range)
+        # TPU extension fields: only set when non-default, so payloads
+        # that use only reference options stay byte-identical.
+        if self.backend != "auto":
+            pb.backend = self.backend
+        if self.upsampling_factor is not None:
+            pb.upsampling_factor = self.upsampling_factor
         return pb
 
     @classmethod
@@ -186,4 +197,6 @@ class Options(pydantic.BaseModel):
             fftw=FftwOptions.from_proto(pb.fftw),
             max_batch_size=pb.max_batch_size or None,
             points_range=PointsRange(int(pb.points_range)),
+            backend=pb.backend or "auto",
+            upsampling_factor=pb.upsampling_factor or None,
         )

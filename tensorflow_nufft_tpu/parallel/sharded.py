@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from tensorflow_nufft_tpu.ops.planar_core import nufft_core_planar
@@ -46,6 +47,15 @@ def _make_spec(transform_type, fft_direction, rank, grid_shape, dtype,
         upsampling_factor=options.upsampling_factor,
         backend=options.backend,
     )
+
+
+def _vary_over(x, axes):
+    """Marks ``x`` as varying over ``axes`` it is not already varying
+    over (shard_map vma bookkeeping; the transform bodies treat their
+    inputs as device-local data along those axes)."""
+    have = jax.typeof(x).vma
+    missing = tuple(a for a in axes if a not in have)
+    return jax.lax.pvary(x, missing) if missing else x
 
 
 def sharded_nufft(source: jax.Array,
@@ -98,6 +108,12 @@ def sharded_nufft(source: jax.Array,
     pts_spec = P(pa, None)
 
     def local_fn(src, pts):
+        # The per-device inputs vary over every mesh axis from this
+        # point on (sharded batch/points); mark them so shard_map's
+        # varying-manual-axes check validates the collectives instead
+        # of being disabled wholesale.
+        src = _vary_over(src, mesh.axis_names)
+        pts = _vary_over(pts, mesh.axis_names)
         out = nufft_core_planar(src, pts, spec)
         if transform_type == "type_1" and pa is not None:
             # Each device spread only its local points; reduce fine-grid
@@ -109,9 +125,131 @@ def sharded_nufft(source: jax.Array,
     fn = jax.shard_map(
         local_fn, mesh=mesh,
         in_specs=(src_spec, pts_spec),
-        out_specs=out_spec,
-        # The spread scan's zero-initialized carry is replicated-typed
-        # while the scanned updates vary over the mesh; skip the varying
-        # manual-axes check (results are unaffected).
-        check_vma=False)
+        out_specs=out_spec)
+    return fn(source, points)
+
+
+def sharded_nufft_grid(source: jax.Array,
+                       points: jax.Array,
+                       mesh: Mesh,
+                       grid_shape: Optional[Tuple[int, ...]] = None,
+                       transform_type: str = "type_2",
+                       fft_direction: str = "forward",
+                       tol: float = 1e-6,
+                       options: Optional[Options] = None,
+                       grid_axis: str = "grid"):
+    """NUFFT with the MODE GRID sharded over the mesh (single-large-
+    transform scaling; no reference counterpart — the reference has no
+    distributed layer at all).
+
+    The leading grid dimension is sharded over ``grid_axis``:
+
+      - type-1: points are replicated; each device spreads all points
+        and computes only ITS slab of the mode grid (the mode-DFT
+        contraction row-block), then a reduce_scatter-free local
+        truncation applies — communication is zero beyond the implicit
+        input replication, and the big mode output is born sharded.
+      - type-2: each device holds its mode slab; slabs are all_gathered
+        (modes are the SMALL object) and each device evaluates its own
+        share of the points — compute and output scale with the mesh.
+
+    Memory: the [*grid] mode tensor is sharded; the oversampled fine
+    grid remains per-device (it is points-sharding's job to shard the
+    spread; combine both axes for full scaling).
+
+    Args:
+        source: type-1: [B, M, 2] replicated; type-2: [B, *grid, 2]
+            sharded on grid dim 0.
+        points: [M, rank]; replicated for type-1, sharded over
+            ``grid_axis`` for type-2.
+
+    Returns:
+        type-1: [B, *grid, 2] sharded on grid dim 0; type-2: [B, M, 2]
+        with M sharded over ``grid_axis``.
+    """
+    options = options or Options()
+    rank = int(points.shape[-1])
+    ndev = mesh.shape[grid_axis]
+    if transform_type == "type_1":
+        if grid_shape is None:
+            raise ValueError(
+                "grid_shape must be provided for type-1 transforms")
+        grid_shape = tuple(int(d) for d in grid_shape)
+    else:
+        # source is the GLOBAL array (shard_map shards it on entry)
+        grid_shape = tuple(int(d) for d in source.shape[-rank - 1:-1])
+
+    if grid_shape[0] % ndev != 0:
+        raise ValueError(
+            f"leading grid dim {grid_shape[0]} must divide the "
+            f"'{grid_axis}' mesh axis size {ndev}")
+    spec = _make_spec(transform_type, fft_direction, rank, grid_shape,
+                      points.dtype, tol, options)
+    grid_dims = (None,) * rank
+
+    if transform_type == "type_1":
+        import numpy as np
+        from tensorflow_nufft_tpu.fft.planar_fft import (
+            _contract_planar, _mode_twiddles)
+        from tensorflow_nufft_tpu.kernels import dispatch
+        from tensorflow_nufft_tpu.kernels.xla_ops import (
+            fold_and_rescale_split)
+        from tensorflow_nufft_tpu.plan.plan import make_plan
+
+        plan = make_plan(spec)
+        sign = -1.0 if fft_direction == "forward" else 1.0
+        slab = grid_shape[0] // ndev
+        # Per-device row-pruned twiddles for the leading grid axis: a
+        # [ndev, nf, slab] stack, dynamic-sliced by axis_index inside
+        # the shard_map body. Each device computes ONLY its slab of the
+        # fused DFT + truncate + deconvolve contraction.
+        c0, s0 = _mode_twiddles(plan.fine_shape[0], grid_shape[0], sign,
+                                plan.deconv_weights(0), truncating=True)
+        c0 = np.stack(np.split(c0, ndev, axis=1))     # [ndev, nf, slab]
+        s0 = np.stack(np.split(s0, ndev, axis=1))
+
+        def local_fn(src, pts):
+            src = _vary_over(src, (grid_axis,))
+            pts = _vary_over(pts, (grid_axis,))
+            batch = src.shape[0]
+            pr = fold_and_rescale_split(pts, plan.fine_shape,
+                                        spec.points_range)
+            folded = jnp.moveaxis(src, -1, 1).reshape(
+                (2 * batch,) + src.shape[1:-1])
+            fine = dispatch.spread(folded, pr, plan)  # [2B, *fine]
+            fine = jnp.moveaxis(
+                fine.reshape((batch, 2) + fine.shape[1:]), 1, -1)
+            i = jax.lax.axis_index(grid_axis)
+            xr, xi = fine[..., 0], fine[..., 1]
+            cd = jax.lax.dynamic_index_in_dim(
+                jnp.asarray(c0, xr.dtype), i, keepdims=False)
+            sd = jax.lax.dynamic_index_in_dim(
+                jnp.asarray(s0, xr.dtype), i, keepdims=False)
+            xr, xi = _contract_planar(xr, xi, cd, sd, 1, precision)
+            for d in range(1, rank):
+                c_np, s_np = _mode_twiddles(
+                    plan.fine_shape[d], grid_shape[d], sign,
+                    plan.deconv_weights(d), truncating=True)
+                xr, xi = _contract_planar(
+                    xr, xi, jnp.asarray(c_np, xr.dtype),
+                    jnp.asarray(s_np, xr.dtype), 1 + d, precision)
+            return jnp.stack([xr, xi], axis=-1)       # [B, slab, .., 2]
+
+        precision = jax.lax.Precision.HIGHEST
+        fn = jax.shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(P(None, None, None), P(None, None)),
+            out_specs=P(None, grid_axis, *grid_dims[1:], None))
+        return fn(source, points)
+
+    def local_fn(src, pts):
+        pts = _vary_over(pts, (grid_axis,))
+        full_modes = jax.lax.all_gather(
+            src, grid_axis, axis=1, tiled=True)       # [B, *grid, 2]
+        return nufft_core_planar(full_modes, pts, spec)
+
+    fn = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(None, grid_axis, *grid_dims), P(grid_axis, None)),
+        out_specs=P(None, grid_axis, None))
     return fn(source, points)

@@ -252,6 +252,36 @@ class NufftPlan:
         return 1.0 / self.fseries[dim][np.abs(k)]
 
 
+def auto_max_batch_size(spec: "PlanSpec",
+                        channels_per_batch: int = 1) -> int:
+    """Automatic inner-batch cap: the largest batch whose fine grids fit
+    the allocation guard. The reference sizes inner batches per thread
+    count (CPU, nufft_plan.cc:211-219) or caps at 8 (GPU,
+    nufft_plan.cu.cc:1923-1928) to bound fine-grid memory; on TPU
+    vectorizing as wide as memory allows is fastest, so the cap is
+    memory-driven."""
+    plan = make_plan(spec)
+    return max(1, int(MAX_ARRAY_SIZE
+                      // max(plan.fine_size * channels_per_batch, 1)))
+
+
+def warn_if_tol_clamped(tol: float, dtype_name: str,
+                        show_warnings: bool) -> None:
+    """Warns when a requested tolerance below machine precision is
+    clamped (the reference's show_warnings behavior,
+    nufft_options.h:102-103; clamping at nufft_plan.cc:189)."""
+    if not show_warnings:
+        return
+    real_dt = np.dtype(np.float32) if dtype_name == "complex64"         else np.dtype(np.float64)
+    eps = EPSILON[real_dt]
+    if float(tol) < eps:
+        import warnings
+        warnings.warn(
+            f"Requested tolerance {tol:g} is below the {real_dt.name} "
+            f"precision floor; clamped to {eps:g}.", RuntimeWarning,
+            stacklevel=3)
+
+
 def check_fine_grid_size(plan: "NufftPlan", batch: int) -> None:
     """Guards the total fine-grid allocation including the inner batch
     (the reference checks fine_size * batch_size, nufft_plan.h:843-848;

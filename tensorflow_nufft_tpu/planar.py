@@ -40,7 +40,8 @@ from tensorflow_nufft_tpu.ops.planar_core import (
     nufft_core_planar_raw,
 )
 from tensorflow_nufft_tpu.options.options import Options
-from tensorflow_nufft_tpu.plan.plan import PlanSpec
+from tensorflow_nufft_tpu.plan.plan import (
+    PlanSpec, auto_max_batch_size, warn_if_tol_clamped)
 
 _FLOAT_DTYPES = (np.dtype(np.float32), np.dtype(np.float64))
 
@@ -145,9 +146,12 @@ def nufft(source,
         upsampling_factor=options.upsampling_factor,
         backend=options.backend,
     )
+    warn_if_tol_clamped(tol, spec.dtype_name, options.show_warnings)
+    max_bs = options.max_batch_size
+    if max_bs is None:
+        max_bs = auto_max_batch_size(spec, channels_per_batch=2)
     return _apply_batched(nufft_core_planar, source, points, spec,
-                          elem_rank, out_elem_shape,
-                          options.max_batch_size)
+                          elem_rank, out_elem_shape, max_bs)
 
 
 def interp(source, points, tol: float = 1e-6,
@@ -203,9 +207,12 @@ def _spread_or_interp(transform_type, source, points, grid_shape, tol,
         upsampling_factor=None,
         backend=options.backend,
     )
+    warn_if_tol_clamped(tol, spec.dtype_name, options.show_warnings)
+    max_bs = options.max_batch_size
+    if max_bs is None:
+        max_bs = auto_max_batch_size(spec, channels_per_batch=2)
     return _apply_batched(nufft_core_planar_raw, source, points, spec,
-                          elem_rank, out_elem_shape,
-                          options.max_batch_size)
+                          elem_rank, out_elem_shape, max_bs)
 
 
 def nudft(source,

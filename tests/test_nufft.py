@@ -200,3 +200,80 @@ class TestErrors:
         pts = random_points(rng, (2, 5, 2), np.float32)
         with pytest.raises(ValueError, match="[Bb]roadcast"):
             tfft.nufft(src, pts)
+
+
+class TestScaleStress:
+    """Reference-scale stress (models nufft_ops_test.py:420-435, which
+    repeats a 3M-point 3D interp 5x): exercises the static chunk-bound
+    binning machinery and the full pipeline at millions of points."""
+
+    def test_binning_invariants_1m_uniform_and_adversarial(self):
+        from tensorflow_nufft_tpu.kernels import binning
+        m = 1_000_000
+        fine = (256, 256, 256)
+        geom = binning.choose_geometry(fine, 7, m)
+        rng = np.random.default_rng(0)
+        cases = {
+            "uniform": rng.uniform(0, 255.999, (m, 3)).astype(np.float32),
+            # adversarial: every point in ONE tile (worst-case skew for
+            # the static M//chunk + num_tiles bound)
+            "one_tile": rng.uniform(0, 1.0, (m, 3)).astype(np.float32),
+        }
+        for name, pts in cases.items():
+            binned = binning.bin_points(jax.numpy.asarray(pts), geom)
+            padpos = np.asarray(binned.padpos)
+            bounds = np.asarray(binned.tile_bounds)
+            # every point gets a unique slot within the static bound
+            assert padpos.shape == (m,)
+            assert np.unique(padpos).size == m, name
+            assert padpos.min() >= 0
+            assert padpos.max() < geom.num_chunks * geom.chunk, name
+            # each point's chunk lies inside its tile's chunk range
+            tid = np.zeros(m, np.int64)
+            for d in range(3):
+                td = np.clip((pts[:, d] // geom.tile[d]).astype(int),
+                             0, geom.tiles[d] - 1)
+                tid = tid * geom.tiles[d] + td
+            chunk_of = padpos // geom.chunk
+            assert (chunk_of >= bounds[tid]).all(), name
+            assert (chunk_of < bounds[tid + 1]).all(), name
+
+    def test_3d_3m_point_interp_repeat(self, rng):
+        """3M-point 3D type-2, repeated: bit-determinism + accuracy on
+        a subset vs the dense oracle (the reference's stress scale)."""
+        m = 3_000_000
+        grid_shape = (32, 32, 32)
+        points = random_points(rng, (m, 3), np.float32)
+        source = random_complex(rng, grid_shape, np.complex64)
+        fn = jax.jit(lambda s, p: tfft.nufft(s, p, tol=1e-3))
+        first = np.asarray(fn(source, points))
+        assert np.isfinite(first).all()
+        for _ in range(4):
+            np.testing.assert_array_equal(
+                first, np.asarray(fn(source, points)))
+        sub = 1500
+        oracle = np.asarray(tfft.nudft(source, points[:sub]))
+        err = np.max(np.abs(first[:sub] - oracle)) / np.max(np.abs(oracle))
+        # tol is a rough target: width formula overshoots by a small
+        # factor (see BENCH_NOTES); gate an order above like the
+        # reference's CI bound relative to its tolerances
+        assert err < 1e-2, err
+
+    def test_1m_point_3d_type1_accuracy(self, rng):
+        """1M-point 3D type-1 vs oracle on a mode slab."""
+        m = 1_000_000
+        grid_shape = (16, 16, 16)
+        points = random_points(rng, (m, 3), np.float32)
+        strengths = random_complex(rng, (m,), np.complex64)
+        out = np.asarray(tfft.nufft(strengths, points,
+                                    grid_shape=grid_shape,
+                                    transform_type="type_1", tol=1e-3))
+        assert np.isfinite(out).all()
+        # oracle on the full (small) mode grid, f64
+        k = np.arange(16) - 8
+        p64 = points.astype(np.float64)
+        c = np.asarray(strengths, np.complex128)
+        ph = [np.exp(-1j * np.outer(p64[:, d], k)) for d in range(3)]
+        oracle = np.einsum("m,mi,mj,ml->ijl", c, *ph, optimize=True)
+        err = np.max(np.abs(out - oracle)) / np.max(np.abs(oracle))
+        assert err < 1e-2, err

@@ -2,6 +2,7 @@
 (models nufft_options_test.py:24-48)."""
 
 import pydantic
+import numpy as np
 import pytest
 
 import tensorflow_nufft_tpu as tfft
@@ -56,3 +57,47 @@ def test_assignment_validation():
         opts.max_batch_size = -1
     opts.max_batch_size = 8
     assert opts.max_batch_size == 8
+
+
+def test_tpu_extension_fields_round_trip():
+    """backend/upsampling_factor survive a proto round-trip; payloads
+    using only reference fields stay byte-identical (advisor finding)."""
+    o = tfft.Options(backend="xla", upsampling_factor=2.5,
+                     max_batch_size=3)
+    r = tfft.Options.from_proto(o.to_proto())
+    assert r == o
+    # default extensions add zero bytes to the wire format
+    plain = tfft.Options(max_batch_size=3)
+    pb = plain.to_proto()
+    assert not pb.backend and pb.upsampling_factor == 0.0
+
+
+def test_show_warnings_on_clamped_tol(rng):
+    import warnings as w
+    pts = rng.uniform(-3, 3, (8, 1)).astype(np.float32)
+    src = (rng.standard_normal(8) + 1j * rng.standard_normal(8)).astype(
+        np.complex64)
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        tfft.nufft(src, pts, grid_shape=(8,), transform_type="type_1",
+                   tol=1e-12)
+    assert any("clamped" in str(x.message) for x in rec)
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        tfft.nufft(src, pts, grid_shape=(8,), transform_type="type_1",
+                   tol=1e-12,
+                   options=tfft.Options(show_warnings=False))
+    assert not any("clamped" in str(x.message) for x in rec)
+
+
+def test_auto_inner_batch_cap():
+    """With no max_batch_size, oversized inner batches are chunked
+    automatically instead of hitting the allocation guard (the
+    reference sizes inner batches automatically, nufft_plan.cc:211-219;
+    here the cap is memory-driven)."""
+    from tensorflow_nufft_tpu.plan.plan import (
+        PlanSpec, auto_max_batch_size)
+    spec = PlanSpec("type_1", "forward", 2, (4096, 4096), "complex64",
+                    1e-3, 0)
+    cap = auto_max_batch_size(spec)
+    assert 1 <= cap < 100

@@ -86,3 +86,50 @@ def test_graft_entry_points():
     out = jax.eval_shape(fn, *args)
     assert out.shape[-1] == 2
     ge.dryrun_multichip(8)
+
+
+class TestGridSharded:
+    """Mode-grid sharding (sharded_nufft_grid): single-large-transform
+    scaling with the leading grid dim over a mesh axis."""
+
+    def test_type1_mode_slabs(self, problem):
+        from tensorflow_nufft_tpu.parallel import sharded_nufft_grid
+        grid, points, _, strengths = problem
+        mesh = _mesh((4,), ("grid",))
+        out = sharded_nufft_grid(strengths, jnp.asarray(points), mesh,
+                                 grid_shape=grid,
+                                 transform_type="type_1")
+        ref = tfft.planar.nufft(strengths, points, grid_shape=grid,
+                                transform_type="type_1")
+        assert out.shape == ref.shape
+        assert _relerr(out, ref) < 1e-4
+
+    def test_type2_gathered_modes(self, problem):
+        from tensorflow_nufft_tpu.parallel import sharded_nufft_grid
+        grid, points, source_t2, _ = problem
+        mesh = _mesh((4,), ("grid",))
+        out = sharded_nufft_grid(source_t2, jnp.asarray(points), mesh,
+                                 transform_type="type_2")
+        ref = tfft.planar.nufft(source_t2, points,
+                                transform_type="type_2")
+        assert _relerr(out, ref) < 1e-4
+
+    def test_type1_gradient(self, problem):
+        from tensorflow_nufft_tpu.parallel import sharded_nufft_grid
+        grid, points, _, strengths = problem
+        mesh = _mesh((4,), ("grid",))
+        pts = jnp.asarray(points)
+
+        def loss_sharded(src):
+            out = sharded_nufft_grid(src, pts, mesh, grid_shape=grid,
+                                     transform_type="type_1")
+            return jnp.sum(out * out)
+
+        def loss_local(src):
+            out = tfft.planar.nufft(src, points, grid_shape=grid,
+                                    transform_type="type_1")
+            return jnp.sum(out * out)
+
+        g1 = jax.grad(loss_sharded)(strengths)
+        g2 = jax.grad(loss_local)(strengths)
+        assert _relerr(g1, g2) < 1e-4
