@@ -31,6 +31,7 @@ from tensorflow_nufft_tpu.kernels import dispatch
 from tensorflow_nufft_tpu.kernels.xla_ops import fold_and_rescale_split
 from tensorflow_nufft_tpu.plan.plan import (
     NufftPlan, PlanSpec, check_fine_grid_size, make_plan)
+from tensorflow_nufft_tpu.utils import profiling as prof
 
 
 def _execute(source: jax.Array, points: jax.Array,
@@ -46,21 +47,29 @@ def _execute(source: jax.Array, points: jax.Array,
     """
     spec = plan.spec
     check_fine_grid_size(plan, source.shape[0])
-    points_resc = fold_and_rescale_split(points, plan.fine_shape,
-                                         spec.points_range)
+    with prof.scope("nufft.fold_rescale"):
+        points_resc = fold_and_rescale_split(points, plan.fine_shape,
+                                             spec.points_range)
     if spec.transform_type == "type_1":
-        fine = dispatch.spread(source, points_resc, plan)
+        with prof.scope("nufft.spread"):
+            fine = dispatch.spread(source, points_resc, plan)
         if spec.spread_only:
             return fine * jnp.asarray(plan.kernel_scale, source.dtype)
-        fine_hat = fft_fine(fine, plan.rank, spec.fft_direction)
-        return deconvolve(fine_hat, plan)
+        with prof.scope("nufft.fft"):
+            fine_hat = fft_fine(fine, plan.rank, spec.fft_direction)
+        with prof.scope("nufft.deconvolve"):
+            return deconvolve(fine_hat, plan)
     # type_2
     if spec.spread_only:
-        values = dispatch.interp(source, points_resc, plan)
+        with prof.scope("nufft.interp"):
+            values = dispatch.interp(source, points_resc, plan)
         return values * jnp.asarray(plan.kernel_scale, source.dtype)
-    fine = amplify(source, plan)
-    grid = fft_fine(fine, plan.rank, spec.fft_direction)
-    return dispatch.interp(grid, points_resc, plan)
+    with prof.scope("nufft.amplify"):
+        fine = amplify(source, plan)
+    with prof.scope("nufft.fft"):
+        grid = fft_fine(fine, plan.rank, spec.fft_direction)
+    with prof.scope("nufft.interp"):
+        return dispatch.interp(grid, points_resc, plan)
 
 
 def _mode_grid(grid_shape: Tuple[int, ...], axis: int,

@@ -26,7 +26,8 @@ from tensorflow_nufft_tpu.ops.core import (
 )
 from tensorflow_nufft_tpu.options.options import Options
 from tensorflow_nufft_tpu.plan.plan import (
-    PlanSpec, auto_max_batch_size, warn_if_tol_clamped)
+    PlanSpec, auto_max_batch_size, log_plan_summary,
+    warn_if_tol_clamped)
 from tensorflow_nufft_tpu.utils.dtypes import real_dtype
 
 _VALID_TRANSFORM_TYPES = ("type_1", "type_2")
@@ -251,6 +252,7 @@ def nufft(source,
         backend=options.backend,
     )
     warn_if_tol_clamped(tol, spec.dtype_name, options.show_warnings)
+    log_plan_summary(spec, options.verbosity)
     max_bs = options.max_batch_size
     if max_bs is None:
         max_bs = auto_max_batch_size(spec)
@@ -372,6 +374,7 @@ def _spread_or_interp(transform_type, source, points, grid_shape, tol,
         backend=options.backend,
     )
     warn_if_tol_clamped(tol, spec.dtype_name, options.show_warnings)
+    log_plan_summary(spec, options.verbosity)
     max_bs = options.max_batch_size
     if max_bs is None:
         max_bs = auto_max_batch_size(spec)

@@ -34,6 +34,7 @@ from tensorflow_nufft_tpu.kernels.xla_ops import fold_and_rescale_split
 from tensorflow_nufft_tpu.ops.core import _mode_grid, _replace
 from tensorflow_nufft_tpu.plan.plan import (
     PlanSpec, check_fine_grid_size, make_plan)
+from tensorflow_nufft_tpu.utils import profiling as prof
 
 
 def _fold(x: jax.Array) -> jax.Array:
@@ -55,8 +56,9 @@ def _execute_planar(source: jax.Array, points: jax.Array,
     spec = plan.spec
     batch = source.shape[0]
     check_fine_grid_size(plan, 2 * batch)    # planar: re/im channel pair
-    points_resc = fold_and_rescale_split(points, plan.fine_shape,
-                                         spec.points_range)
+    with prof.scope("nufft.fold_rescale"):
+        points_resc = fold_and_rescale_split(points, plan.fine_shape,
+                                             spec.points_range)
     use_tiled = (not spec.spread_only
                  and dispatch.pallas_active(plan, source.dtype,
                                             points.shape[0]))
@@ -67,19 +69,25 @@ def _execute_planar(source: jax.Array, points: jax.Array,
             # major [M, 2B] input: row (b, ch) order matches _fold's.
             src_pm = jnp.swapaxes(source, 0, 1).reshape(
                 source.shape[1], 2 * batch)
-            tiles, geom = dispatch.spread_tiled(
-                src_pm, points_resc, plan)
-            out = dft_truncate_deconvolve_tiled(tiles, plan, geom, batch)
+            with prof.scope("nufft.spread"):
+                tiles, geom = dispatch.spread_tiled(
+                    src_pm, points_resc, plan)
+            with prof.scope("nufft.mode_dft_deconvolve"):
+                out = dft_truncate_deconvolve_tiled(tiles, plan, geom,
+                                                    batch)
             return out.astype(source.dtype)
-        fine = dispatch.spread(_fold(source), points_resc, plan)
+        with prof.scope("nufft.spread"):
+            fine = dispatch.spread(_fold(source), points_resc, plan)
         if spec.spread_only:
             scale = jnp.asarray(plan.kernel_scale, fine.dtype)
             return _unfold(fine * scale, batch)
         # DFT + mode truncation + deconvolution in one fused contraction.
-        return dft_truncate_deconvolve(_unfold(fine, batch), plan)
+        with prof.scope("nufft.mode_dft_deconvolve"):
+            return dft_truncate_deconvolve(_unfold(fine, batch), plan)
     # type_2
     if spec.spread_only:
-        values = dispatch.interp(_fold(source), points_resc, plan)
+        with prof.scope("nufft.interp"):
+            values = dispatch.interp(_fold(source), points_resc, plan)
         scale = jnp.asarray(plan.kernel_scale, values.dtype)
         return _unfold(values * scale, batch)
     if use_tiled:
@@ -88,12 +96,17 @@ def _execute_planar(source: jax.Array, points: jax.Array,
         from tensorflow_nufft_tpu.kernels import binning
         geom = binning.choose_geometry(
             plan.fine_shape, plan.width, points.shape[0])
-        tiles = amplify_pad_dft_tiled(source, plan, geom)
-        values = dispatch.interp_tiled(tiles, points_resc, plan, geom)
+        with prof.scope("nufft.amplify_dft"):
+            tiles = amplify_pad_dft_tiled(source, plan, geom)
+        with prof.scope("nufft.interp"):
+            values = dispatch.interp_tiled(tiles, points_resc, plan,
+                                           geom)
         return _unfold(values, batch).astype(source.dtype)
     # Amplification + zero-padding + DFT in one fused contraction.
-    grid = amplify_pad_dft(source, plan)
-    values = dispatch.interp(_fold(grid), points_resc, plan)
+    with prof.scope("nufft.amplify_dft"):
+        grid = amplify_pad_dft(source, plan)
+    with prof.scope("nufft.interp"):
+        values = dispatch.interp(_fold(grid), points_resc, plan)
     return _unfold(values, batch)
 
 

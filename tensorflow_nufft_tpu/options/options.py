@@ -139,6 +139,11 @@ class Options(pydantic.BaseModel):
             parameters (e.g. a requested tolerance below machine
             precision being clamped). Mirrors the reference's
             show_warnings internal option (nufft_options.h:102-103).
+        verbosity: int. 0 = silent (default); 1 logs a one-line plan
+            summary (sigma, kernel width, fine grid) per transform call
+            to stderr. Mirrors the reference's verbosity internal
+            option (nufft_options.h:98-100); like the reference's, it
+            is internal-only and not serialized to proto.
     """
     model_config = pydantic.ConfigDict(validate_assignment=True)
 
@@ -150,6 +155,14 @@ class Options(pydantic.BaseModel):
     backend: str = "auto"
     upsampling_factor: Optional[float] = None
     show_warnings: bool = True
+    verbosity: int = 0
+
+    @pydantic.field_validator("verbosity")
+    @classmethod
+    def _check_verbosity(cls, v):
+        if v < 0:
+            raise ValueError(f"verbosity must be >= 0, got {v}")
+        return v
 
     @pydantic.field_validator("max_batch_size")
     @classmethod

@@ -282,6 +282,23 @@ def warn_if_tol_clamped(tol: float, dtype_name: str,
             stacklevel=3)
 
 
+def log_plan_summary(spec: "PlanSpec", verbosity: int) -> None:
+    """One-line plan summary to stderr at verbosity >= 1 (the role of the
+    reference's verbosity printfs, nufft_options.h:98-100,
+    nufft_plan.cc:1060). Runs at trace time; the plan is lru-cached so
+    this costs nothing extra."""
+    if verbosity < 1:
+        return
+    import sys
+    plan = make_plan(spec)
+    print(
+        f"[tfft] plan: {spec.transform_type} {spec.fft_direction} "
+        f"rank={spec.rank} grid={spec.grid_shape} tol={plan.tol:g} "
+        f"sigma={plan.sigma} width={plan.width} beta={plan.beta:.4f} "
+        f"fine={plan.fine_shape} backend={spec.backend}",
+        file=sys.stderr, flush=True)
+
+
 def check_fine_grid_size(plan: "NufftPlan", batch: int) -> None:
     """Guards the total fine-grid allocation including the inner batch
     (the reference checks fine_size * batch_size, nufft_plan.h:843-848;

@@ -41,7 +41,8 @@ from tensorflow_nufft_tpu.ops.planar_core import (
 )
 from tensorflow_nufft_tpu.options.options import Options
 from tensorflow_nufft_tpu.plan.plan import (
-    PlanSpec, auto_max_batch_size, warn_if_tol_clamped)
+    PlanSpec, auto_max_batch_size, log_plan_summary,
+    warn_if_tol_clamped)
 
 _FLOAT_DTYPES = (np.dtype(np.float32), np.dtype(np.float64))
 
@@ -147,6 +148,7 @@ def nufft(source,
         backend=options.backend,
     )
     warn_if_tol_clamped(tol, spec.dtype_name, options.show_warnings)
+    log_plan_summary(spec, options.verbosity)
     max_bs = options.max_batch_size
     if max_bs is None:
         max_bs = auto_max_batch_size(spec, channels_per_batch=2)
@@ -208,6 +210,7 @@ def _spread_or_interp(transform_type, source, points, grid_shape, tol,
         backend=options.backend,
     )
     warn_if_tol_clamped(tol, spec.dtype_name, options.show_warnings)
+    log_plan_summary(spec, options.verbosity)
     max_bs = options.max_batch_size
     if max_bs is None:
         max_bs = auto_max_batch_size(spec, channels_per_batch=2)
