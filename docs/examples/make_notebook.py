@@ -1,0 +1,177 @@
+"""Builds docs/examples/mri_app.ipynb (the notebook-grade MRI example,
+parity with the reference's docs/examples/mri_app.ipynb) from the same
+cells as mri_walkthrough.md. Run: python docs/examples/make_notebook.py
+[--execute] — with --execute, the code cells are also run end-to-end on
+CPU as a validation pass before writing."""
+
+import json
+import pathlib
+import sys
+
+HERE = pathlib.Path(__file__).resolve().parent
+
+MD = [
+    """# Non-Cartesian MRI reconstruction with tensorflow-nufft-tpu
+
+A radial multicoil acquisition, reconstructed two ways: the classic
+density-compensated adjoint ("gridding") and iterative CG-SENSE. This is
+the notebook counterpart of the reference's `docs/examples/mri_app.ipynb`
+(mrphys/tensorflow-nufft), built on the TPU-native planar API.
+
+An idealized MRI scanner samples the Fourier transform of the object
+along a k-space trajectory; non-Cartesian (radial/spiral) sampling lands
+between grid points — exactly the type-2 NUFFT:
+
+$$ y_m = \\sum_k x_k\\, e^{-i\\, k \\cdot \\xi_m} $$
+""",
+    """## 1. Set up a synthetic acquisition
+
+Everything is *planar* (a trailing `(re, im)` axis of size 2) — the
+TPU-native representation; `from_planar` converts back to complex NumPy
+for plotting.""",
+    """## 2. The forward model (type-2 NUFFT)
+
+`SenseNufft` bundles coil-sensitivity weighting with the NUFFT: the
+forward operator is $y_c = F_{nu}(S_c \\odot x)$ per coil $c$. Under the
+hood: one batched `tfft.planar.nufft(..., transform_type="type_2")` over
+the coil dimension — on TPU, the Pallas interp kernel consuming fused
+amplify+DFT tile blocks.""",
+    """## 3. Density-compensated adjoint ("gridding")
+
+Radial sampling is densest at the k-space center; re-weighting by the
+ramp `density` before the adjoint (type-1) transform gives the classic
+gridding reconstruction — fast, but blurry/streaky under
+undersampling.""",
+    """## 4. Iterative CG-SENSE
+
+Solving $\\arg\\min_x \\lVert F_{nu} S x - y \\rVert^2$ with conjugate
+gradients on the normal equations uses the NUFFT *and its adjoint* each
+iteration — this is where the custom VJPs earn their keep, and where the
+planned-transform API shines (the trajectory is fixed across iterations,
+so binning and kernel matrices are computed once).""",
+    """## 5. Scaling notes
+
+- **Fixed trajectory, many applies** (CG, training loops): build a
+  `tfft.planar.PlannedNufft(points, grid, ...)` once and call it; on TPU
+  each apply then runs a pure DMA + MXU kernel stream.
+- **Many coils / frames**: the coil dimension is an inner-vectorized
+  batch — one plan execution, MXU-batched kernels.
+- **Multi-chip**: shard coils over a mesh `data` axis and k-space over a
+  `points` axis with `tensorflow_nufft_tpu.parallel.sharded_nufft`, or
+  shard the image grid itself with `sharded_nufft_grid`.""",
+]
+
+CODE = [
+    """import jax, jax.numpy as jnp, numpy as np
+from tensorflow_nufft_tpu.models import mri
+from tensorflow_nufft_tpu.planar import from_planar
+
+grid = (192, 192)
+coils = 8
+spokes, samples = 160, 384     # ~1.7x angular undersampling
+
+phantom = jnp.asarray(mri.shepp_logan(grid))            # [*grid, 2]
+maps = jnp.asarray(mri.birdcage_maps(coils, grid))      # [C, *grid, 2]
+points = jnp.asarray(
+    mri.radial_trajectory(spokes, samples, golden_angle=True))  # [M, 2]
+density = jnp.asarray(mri.radial_density(spokes, samples))      # [M]
+print("k-space samples:", points.shape[0])""",
+    """import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+
+fig, ax = plt.subplots(1, 2, figsize=(8, 4))
+ax[0].imshow(np.abs(from_planar(phantom)), cmap="gray")
+ax[0].set_title("Shepp-Logan phantom")
+ax[1].plot(np.asarray(points[:, 0]), np.asarray(points[:, 1]),
+           ".", ms=0.3)
+ax[1].set_title(f"radial trajectory ({spokes} spokes)")
+ax[1].set_aspect("equal")
+fig.savefig("mri_setup.png", dpi=120, bbox_inches="tight")""",
+    """op = mri.SenseNufft(points, maps, grid, density=density)
+kspace = jax.jit(op.forward)(phantom)       # [C, M, 2]
+print("kspace:", kspace.shape)""",
+    """recon_adj = jax.jit(op.adjoint)(kspace)    # [*grid, 2]""",
+    """recon_cg = jax.jit(lambda y: mri.cg_sense(y, op, num_iters=15))(kspace)
+
+fig, ax = plt.subplots(1, 3, figsize=(12, 4))
+for a, (img, title) in zip(ax, [
+        (phantom, "ground truth"),
+        (recon_adj, "density-comp. adjoint"),
+        (recon_cg, "CG-SENSE (15 iters)")]):
+    a.imshow(np.abs(from_planar(img)), cmap="gray")
+    a.set_title(title)
+    a.axis("off")
+fig.savefig("mri_recons.png", dpi=120, bbox_inches="tight")
+
+def rel_err(x):
+    # scale-invariant (the plain adjoint is unnormalized by construction)
+    a = float(jnp.vdot(x.ravel(), phantom.ravel())
+              / jnp.vdot(x.ravel(), x.ravel()))
+    return float(jnp.linalg.norm(a * x - phantom)
+                 / jnp.linalg.norm(phantom))
+
+print(f"rel. error: adjoint {rel_err(recon_adj):.3f}  "
+      f"CG-SENSE {rel_err(recon_cg):.3f}")""",
+]
+
+# Interleave: md0, md1, code0, code1, md2, code2, md3, code3, md4, code4, md5
+ORDER = [("md", 0), ("md", 1), ("code", 0), ("code", 1), ("md", 2),
+         ("code", 2), ("md", 3), ("code", 3), ("md", 4), ("code", 4),
+         ("md", 5)]
+
+
+def build():
+    cells = []
+    for kind, i in ORDER:
+        src = (MD if kind == "md" else CODE)[i]
+        lines = [ln + "\n" for ln in src.split("\n")]
+        if lines:
+            lines[-1] = lines[-1].rstrip("\n")
+        if kind == "md":
+            cells.append({"cell_type": "markdown", "metadata": {},
+                          "source": lines})
+        else:
+            cells.append({"cell_type": "code", "metadata": {},
+                          "execution_count": None, "outputs": [],
+                          "source": lines})
+    return {
+        "cells": cells,
+        "metadata": {
+            "kernelspec": {"display_name": "Python 3",
+                           "language": "python", "name": "python3"},
+            "language_info": {"name": "python", "version": "3"},
+        },
+        "nbformat": 4,
+        "nbformat_minor": 5,
+    }
+
+
+def execute():
+    import os
+    import tempfile
+    ns = {}
+    cwd = os.getcwd()
+    with tempfile.TemporaryDirectory() as td:
+        os.chdir(td)
+        try:
+            for i, src in enumerate(CODE):
+                print(f"-- executing cell {i}", file=sys.stderr)
+                exec(compile(src, f"<cell {i}>", "exec"), ns)
+        finally:
+            os.chdir(cwd)
+
+
+def main():
+    if "--execute" in sys.argv:
+        sys.path.insert(0, str(HERE.parent.parent))   # repo root
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        execute()
+    out = HERE / "mri_app.ipynb"
+    out.write_text(json.dumps(build(), indent=1))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
