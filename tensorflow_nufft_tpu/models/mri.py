@@ -114,22 +114,37 @@ class SenseNufft:
     sensitivities. The adjoint applies optional density compensation,
     the type-1 backward NUFFT, and a conjugate-map coil combination —
     the structure demonstrated in the reference's MRI notebook.
+
+    With ``planned=True`` (default) and a single [M, rank] trajectory,
+    the forward/adjoint pair runs on a shared ``planar.PlannedNufft``:
+    binning, chunk payloads and ES kernel matrices are computed once at
+    construction (the trajectory is fixed across CG iterations), so on
+    TPU each apply is a pure DMA + MXU kernel stream. Falls back to the
+    unplanned pipeline where the planned path does not serve (CPU, f64).
     """
 
     def __init__(self, points, maps, grid_shape: Tuple[int, ...],
                  density: Optional[jax.Array] = None,
                  tol: float = 1e-6,
-                 options: Optional[Options] = None):
+                 options: Optional[Options] = None,
+                 planned: bool = True):
         self.points = jnp.asarray(points)
         self.maps = jnp.asarray(maps)        # [C, *grid, 2]
         self.grid_shape = tuple(grid_shape)
         self.density = None if density is None else jnp.asarray(density)
         self.tol = tol
         self.options = options or Options()
+        self._t2 = None
+        if planned and self.points.ndim == 2:
+            self._t2 = planar.PlannedNufft(
+                self.points, self.grid_shape, transform_type="type_2",
+                fft_direction="forward", tol=tol, options=self.options)
 
     def forward(self, image: jax.Array) -> jax.Array:
         """[*grid, 2] -> [C, M, 2]."""
         coil_images = pmul(self.maps, image[None])
+        if self._t2 is not None:
+            return self._t2(coil_images)
         return planar.nufft(coil_images, self.points,
                             transform_type="type_2",
                             fft_direction="forward", tol=self.tol,
@@ -139,11 +154,16 @@ class SenseNufft:
         """[C, M, 2] -> [*grid, 2] (density-compensated A^H)."""
         if self.density is not None:
             kspace = kspace * self.density[None, :, None]
-        coil_images = planar.nufft(kspace, self.points,
-                                   grid_shape=self.grid_shape,
-                                   transform_type="type_1",
-                                   fft_direction="backward",
-                                   tol=self.tol, options=self.options)
+        if self._t2 is not None:
+            # The planned adjoint (type-1 backward) shares every
+            # points-side artifact with the forward transform.
+            coil_images = self._t2.adjoint()(kspace)
+        else:
+            coil_images = planar.nufft(kspace, self.points,
+                                       grid_shape=self.grid_shape,
+                                       transform_type="type_1",
+                                       fft_direction="backward",
+                                       tol=self.tol, options=self.options)
         return jnp.sum(pmul(pconj(self.maps), coil_images), axis=0)
 
     def normal(self, image: jax.Array) -> jax.Array:

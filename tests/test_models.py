@@ -92,3 +92,60 @@ def test_cg_sense_jit_and_grad():
     loss, grad = jax.value_and_grad(recon_loss)(kspace)
     assert np.isfinite(float(loss))
     assert np.all(np.isfinite(np.asarray(grad)))
+
+
+def test_sense_planned_matches_unplanned():
+    """The planned SENSE pair (forced Pallas, interpret mode on CPU)
+    matches the unplanned pipeline bit-for-bit in structure and to
+    float32 tolerance in values, forward and adjoint."""
+    import tensorflow_nufft_tpu as tfft
+
+    grid = (32, 32)
+    pts = jnp.asarray(mri.radial_trajectory(16, 64))
+    maps = jnp.asarray(mri.birdcage_maps(4, grid))
+    img = jnp.asarray(mri.shepp_logan(grid))
+    density = jnp.asarray(mri.radial_density(16, 64))
+
+    forced = tfft.Options(backend="pallas")
+    op_p = mri.SenseNufft(pts, maps, grid, density=density,
+                          options=forced, planned=True)
+    op_u = mri.SenseNufft(pts, maps, grid, density=density,
+                          planned=False)
+    assert op_p._t2 is not None and op_p._t2._planned
+
+    ksp_p = np.asarray(op_p.forward(img))
+    ksp_u = np.asarray(op_u.forward(img))
+    scale = np.max(np.abs(ksp_u))
+    np.testing.assert_allclose(ksp_p, ksp_u, atol=2e-5 * scale)
+
+    rec_p = np.asarray(op_p.adjoint(jnp.asarray(ksp_u)))
+    rec_u = np.asarray(op_u.adjoint(jnp.asarray(ksp_u)))
+    scale = np.max(np.abs(rec_u))
+    np.testing.assert_allclose(rec_p, rec_u, atol=2e-5 * scale)
+
+
+def test_sense_planned_gradient():
+    """jax.grad flows through the planned SENSE data-consistency loss."""
+    import tensorflow_nufft_tpu as tfft
+
+    grid = (16, 16)
+    pts = jnp.asarray(mri.radial_trajectory(8, 32))
+    maps = jnp.asarray(mri.birdcage_maps(2, grid))
+    img = jnp.asarray(mri.shepp_logan(grid))
+    op = mri.SenseNufft(pts, maps, grid,
+                        options=tfft.Options(backend="pallas"),
+                        planned=True)
+    assert op._t2 is not None and op._t2._planned
+    kspace = op.forward(img)
+
+    def loss(x):
+        r = op.forward(x) - kspace
+        return jnp.sum(r * r)
+
+    g = jax.jit(jax.grad(loss))(img * 0.5)
+    assert np.isfinite(np.asarray(g)).all()
+    # loss is quadratic: grad at 0.5*img is -0.5 * grad-at-1.5x... just
+    # check descent: a small step reduces the loss.
+    l0 = float(loss(img * 0.5))
+    l1 = float(loss(img * 0.5 - 1e-3 * g / (jnp.linalg.norm(g) + 1e-30)))
+    assert l1 < l0
