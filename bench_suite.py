@@ -5,13 +5,20 @@ Reference harness (nufft_ops_test.py:728-809): 2D 256^2 type-1/2 with
 points), 3D 128^3 type-1/2 with 800k points. BASELINE.md adds the 65k 2D
 case, a radial multicoil case, and a CG-SENSE autodiff case.
 
-Run: python bench_suite.py [--quick]
+Run: python bench_suite.py [--quick] [--case NAME] [--timeout SECS]
 Prints one JSON line per case to stdout (suite results; the driver's
 single-line benchmark is bench.py).
+
+By default each case runs in its own subprocess with a wall-clock
+timeout and one retry: the remote TPU compile service occasionally
+hangs or 500s (see CLAUDE.md), and one stuck case must not block the
+rest of the suite. ``--case NAME`` runs a single case in-process.
 """
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -134,14 +141,8 @@ def cg_sense_case(k2=5):
     }
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--quick", action="store_true")
-    args = parser.parse_args()
-
-    import jax
-    log(f"backend: {jax.default_backend()}")
-
+def _case_registry(quick: bool):
+    """Ordered {name: thunk} of all suite cases."""
     cases = [
         ("2d_t2_256_200k", (256, 256), 200_000, "type_2", None, True),
         ("2d_t1_256_200k", (256, 256), 200_000, "type_1", None, True),
@@ -151,7 +152,7 @@ def main():
         ("2d_t1_256_200k_b16_shared", (256, 256), 200_000, "type_1",
          16, True),
     ]
-    if not args.quick:
+    if not quick:
         cases += [
             ("2d_t2_256_200k_b16_perbatch", (256, 256), 200_000,
              "type_2", 16, False),
@@ -162,35 +163,88 @@ def main():
             ("3d_t1_128_1m", (128, 128, 128), 1_000_000, "type_1",
              None, True),
         ]
-
+    reg = {}
     for name, gs, m, tt, batch, shared in cases:
-        try:
-            res = nufft_case(name, gs, m, tt, batch, shared,
-                             k2=5 if len(gs) == 3 else 9)
-            print(json.dumps(res), flush=True)
-        except Exception as e:  # keep the suite going
-            print(json.dumps({"metric": name, "error": str(e)[:200]}),
-                  flush=True)
+        reg[name] = (lambda n=name, g=gs, mm=m, t=tt, b=batch, s=shared:
+                     nufft_case(n, g, mm, t, b, s,
+                                k2=5 if len(g) == 3 else 9))
 
-    # BASELINE config 2: 512^2 grid, radial MRI trajectory, 8 coils
-    # sharing points, type-2.
-    if not args.quick:
-        try:
+    if not quick:
+        def radial_case():
+            # BASELINE config 2: 512^2 grid, radial MRI trajectory,
+            # 8 coils sharing points, type-2.
             from tensorflow_nufft_tpu.models import mri
             radial = np.asarray(mri.radial_trajectory(512, 1024))
-            res = nufft_case("2d_t2_512_radial_b8", (512, 512), 0,
-                             "type_2", batch=8, shared_points=True,
-                             k2=9, points_arr=radial)
-            print(json.dumps(res), flush=True)
-        except Exception as e:
-            print(json.dumps({"metric": "2d_t2_512_radial_b8",
-                              "error": str(e)[:200]}), flush=True)
-    if not args.quick:
-        try:
-            print(json.dumps(cg_sense_case()), flush=True)
-        except Exception as e:
-            print(json.dumps({"metric": "cg_sense", "error":
-                              str(e)[:200]}), flush=True)
+            return nufft_case("2d_t2_512_radial_b8", (512, 512), 0,
+                              "type_2", batch=8, shared_points=True,
+                              k2=9, points_arr=radial)
+        reg["2d_t2_512_radial_b8"] = radial_case
+        reg["cg_sense"] = cg_sense_case
+    return reg
+
+
+def _run_subprocess(name: str, timeout: float):
+    """Runs one case as `bench_suite.py --case name`, returns its JSON
+    result (or an error record on timeout / crash)."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--case", name]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=timeout,
+                              cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        return {"metric": name, "error": f"timeout after {timeout:.0f}s "
+                                         f"(remote compile hang?)"}
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                pass
+    tail = (proc.stderr or proc.stdout or "")[-300:]
+    return {"metric": name, "error": f"rc={proc.returncode}: {tail}"}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--case", default=None,
+                        help="run one case in-process")
+    parser.add_argument("--timeout", type=float, default=0.0,
+                        help="per-case wall clock (default: 900s 2D, "
+                             "4200s 3D first-compile headroom)")
+    parser.add_argument("--inprocess", action="store_true",
+                        help="run all cases in this process (no "
+                             "isolation; old behavior)")
+    args = parser.parse_args()
+
+    reg = _case_registry(args.quick)
+
+    if args.case is not None:
+        import jax
+        log(f"backend: {jax.default_backend()}")
+        print(json.dumps(reg[args.case]()), flush=True)
+        return
+
+    if args.inprocess:
+        import jax
+        log(f"backend: {jax.default_backend()}")
+        for name, thunk in reg.items():
+            try:
+                print(json.dumps(thunk()), flush=True)
+            except Exception as e:  # keep the suite going
+                print(json.dumps({"metric": name, "error": str(e)[:200]}),
+                      flush=True)
+        return
+
+    for name in reg:
+        timeout = args.timeout or (4200.0 if name.startswith("3d")
+                                   else 900.0)
+        res = _run_subprocess(name, timeout)
+        if "error" in res:   # one retry: the compile service flakes
+            log(f"{name}: failed ({res['error'][:80]}), retrying once")
+            res = _run_subprocess(name, timeout)
+        print(json.dumps(res), flush=True)
 
 
 if __name__ == "__main__":

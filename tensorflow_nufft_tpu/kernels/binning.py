@@ -155,6 +155,9 @@ class BinnedPoints(NamedTuple):
     points_hi: jax.Array    # [M, rank] coordinate high words
     points_lo: jax.Array    # [M, rank] coordinate low words
     padpos: jax.Array       # [M] slot of each point in the padded stream
+    invpos: jax.Array       # [num_chunks * chunk] point index of each
+    #                         slot (M for padded slots) — the inverse of
+    #                         padpos; payload builds gather through it
     chunk_tidx: Tuple[jax.Array, ...]  # per-axis tile index per chunk
     chunk_first: jax.Array  # [num_chunks] 1 if first chunk of its tile
     tile_bounds: jax.Array  # [num_tiles + 1] chunk range of each tile:
@@ -294,10 +297,18 @@ def bin_points(points_resc, geom: TileGeometry) -> BinnedPoints:
         [chunk_starts,
          (chunk_starts[-1] + rounds_i[-1])[None]]).astype(jnp.int32)
 
+    # Inverse slot map: ONE cheap 1D int32 scatter (4 ns/index class).
+    # Every payload build then moves data by gather — wide-row scatters
+    # measured ~50 ns/index at M=200k, 25x the whole spread kernel.
+    invpos = jnp.full((num_chunks * chunk,), m, jnp.int32)
+    invpos = invpos.at[padpos].set(
+        jnp.arange(m, dtype=jnp.int32), unique_indices=True)
+
     return BinnedPoints(
         points_hi=points_hi,
         points_lo=points_lo,
         padpos=padpos,
+        invpos=invpos,
         chunk_tidx=chunk_tidx,
         chunk_first=chunk_first,
         tile_bounds=tile_bounds,
@@ -308,27 +319,32 @@ def _pack_rows(rows, sentinel_rows: int, binned: BinnedPoints,
                geom: TileGeometry) -> jax.Array:
     """Packs per-point rows into the chunk-major [NC, R, chunk] layout.
 
-    R is padded to a multiple of 8 (DMA sublane alignment). Each row is
-    placed by one 1D scatter straight into the target layout (index
-    arithmetic instead of a transpose — the (R, NC*C) -> (NC, R, C)
-    transpose costs more than the whole spread kernel on TPU). Padded
-    slots keep SENTINEL in the first ``sentinel_rows`` rows, zero
-    elsewhere.
+    R is padded to a multiple of 8 (DMA sublane alignment). All rows
+    move in ONE batched gather through the inverse slot map
+    (``invpos``): source [R, M + 1] (per-row pad value at index M),
+    indices along the minor axis — the measured-cheapest random data
+    movement on TPU (~1-4 ns/index; wide-row scatters hit ~50 ns/index
+    at M=200k, per-channel major-axis gathers ~7 ns). Padded slots read
+    SENTINEL in the first ``sentinel_rows`` rows, zero elsewhere.
     """
     chunk = geom.chunk
     nc = geom.num_chunks
-    r_pad = -(-len(rows) // 8) * 8
-    chunk_id = binned.padpos // chunk
-    base_idx = binned.padpos + chunk_id * ((r_pad - 1) * chunk)
-    pattern = np.zeros((r_pad,), np.float32)
-    pattern[:sentinel_rows] = SENTINEL
-    flat = jnp.broadcast_to(
-        jnp.asarray(pattern)[None, :, None],
-        (nc, r_pad, chunk)).reshape(nc * r_pad * chunk)
-    for ridx, vec in enumerate(rows):
-        flat = flat.at[base_idx + ridx * chunk].set(
-            vec.astype(jnp.float32), unique_indices=True)
-    return flat.reshape(nc, r_pad, chunk)
+    r = len(rows)
+    r_pad = -(-r // 8) * 8
+    pads = np.zeros((r, 1), np.float32)
+    pads[:sentinel_rows, 0] = SENTINEL
+    src = jnp.concatenate(
+        [jnp.stack([v.astype(jnp.float32) for v in rows]),
+         jnp.asarray(pads)], axis=1)                   # [R, M + 1]
+    # Materialize before gathering (see build_values_payload).
+    src = jax.lax.optimization_barrier(src)
+    g = src[:, binned.invpos]                          # [R, NC * chunk]
+    pay = g.reshape(r, nc, chunk).transpose(1, 0, 2)   # [NC, R, chunk]
+    if r_pad != r:
+        pay = jnp.concatenate(
+            [pay, jnp.zeros((nc, r_pad - r, chunk), jnp.float32)],
+            axis=1)
+    return pay
 
 
 def build_coords_payload(binned: BinnedPoints,
@@ -343,27 +359,37 @@ def build_coords_payload(binned: BinnedPoints,
     return _pack_rows(rows, rank, binned, geom)
 
 
-def build_values_payload(values_pm: jax.Array, binned: BinnedPoints,
+def build_values_payload(values_cm: jax.Array, binned: BinnedPoints,
                          geom: TileGeometry) -> jax.Array:
-    """[NC, 8*, chunk] per-point values payload; zero in padded slots.
+    """[8*, NC * chunk] FLAT per-point values payload; zero in padded
+    slots; rows are channels (sublane-padded to a multiple of 8).
 
-    Takes points-major values [M, B2] so all B2 channels move in ONE
-    scatter (each index carries a contiguous [B2] row) — per-point
-    index processing dominates scatter cost on TPU, so this is ~2x
-    cheaper than per-channel row scatters even at B2=2. The [NC, C, B2]
-    -> [NC, B2, C] transpose afterwards is batched and cheap (unlike a
-    global channel-major transpose).
+    Takes CHANNEL-MAJOR values [B2, M] (the natural planar fold layout)
+    and moves all channels in one batched minor-axis gather through
+    ``invpos`` — the measured-cheapest random data movement on TPU
+    (~1.5 ns/index; the [M, B2]-row scatter it replaces measured
+    ~50 ns/index at M=200k — 10 ms against a 0.3 ms spread kernel).
+    The layout stays flat: a chunk-major reshape+transpose here fuses
+    INTO the gather and makes it a slow major-axis gather (measured
+    +4 ms); instead the kernels DMA [R, chunk] slices at dynamic
+    minor-axis offsets.
     """
-    m, b2 = values_pm.shape
+    b2, m = values_cm.shape
     nc, chunk = geom.num_chunks, geom.chunk
-    tgt = jnp.zeros((nc * chunk, b2), jnp.float32)
-    tgt = tgt.at[binned.padpos].set(values_pm.astype(jnp.float32),
-                                    unique_indices=True)
-    pay = tgt.reshape(nc, chunk, b2).transpose(0, 2, 1)
+    src = jnp.concatenate(
+        [values_cm.astype(jnp.float32),
+         jnp.zeros((b2, 1), jnp.float32)], axis=1)     # [B2, M + 1]
+    # The barrier materializes the concat: XLA otherwise fuses it INTO
+    # the gather, which demotes the gather to a slow per-index path
+    # (measured 4.9 ms vs 0.7 ms at M=200k on v5e).
+    src = jax.lax.optimization_barrier(src)
+    g = src[:, binned.invpos]
     r_pad = -(-b2 // 8) * 8
     if r_pad != b2:
-        pay = jnp.pad(pay, ((0, 0), (0, r_pad - b2), (0, 0)))
-    return pay
+        g = jnp.concatenate(
+            [g, jnp.zeros((r_pad - b2, nc * chunk), jnp.float32)],
+            axis=0)
+    return g
 
 
 def mats_supported(geom: TileGeometry) -> bool:

@@ -185,14 +185,14 @@ def interp(fine: jax.Array, points_resc: jax.Array,
     return xla_ops.interp_xla(fine, indices, kernels, plan)
 
 
-def spread_tiled(strengths_pm: jax.Array, points_resc,
+def spread_tiled(strengths_cm: jax.Array, points_resc,
                  plan: NufftPlan):
     """Pallas spread returning per-tile extended blocks (no overlap-add):
-    strengths_pm [M, B2] (points-major) -> (tiles [*tiles, B2, *ext],
+    strengths_cm [B2, M] (channel-major) -> (tiles [*tiles, B2, *ext],
     geom). Pallas-only entry point."""
     from tensorflow_nufft_tpu.kernels import pallas_spread
     return pallas_spread.spread_pallas_tiles(
-        strengths_pm.astype(jnp.float32), points_resc, plan)
+        strengths_cm.astype(jnp.float32), points_resc, plan)
 
 
 def interp_tiled(tiles: jax.Array, points_resc: jax.Array,

@@ -193,18 +193,28 @@ def _linear_tile_id(geom: TileGeometry):
 # four keep the stream ahead of compute.
 NBUF = 4
 
-# VMEM budget for holding the entire tile array resident in one program
-# (v5e has ~16 MB; leave room for payload scratch + pipeline buffers —
-# those stay under ~1.5 MB, so 12 MB of tiles is safe and admits a
-# 512^2-grid planar pair).
-VMEM_RESIDENT_BUDGET = 12 * 2 ** 20
+# VMEM budget for one resident program: tile array + DMA scratch must
+# fit v5e's ~16 MB VMEM with compiler headroom.
+VMEM_RESIDENT_BUDGET = 14 * 2 ** 20
+
+
+def _scratch_bytes(geom: TileGeometry, batch2: int) -> int:
+    """Worst-case pipeline scratch of the resident kernels: NBUF
+    double-buffered per-chunk payloads (precomputed [E_d, C] kernel
+    matrices dominate; the coords/values variant is smaller) plus the
+    interp side's two outbound [B2, C] buffers."""
+    per_chunk = (sum(geom.ext) + 8) * geom.chunk
+    out_stream = 2 * batch2 * geom.chunk
+    return 4 * (NBUF * per_chunk + out_stream)
 
 
 def resident_fits(geom: TileGeometry, batch2: int) -> bool:
-    """Whether the whole [*tiles, B2, *ext] array fits the VMEM budget
-    (the single-program kernel needs it resident)."""
-    total = (geom.num_tiles * batch2 * int(np.prod(geom.ext))) * 4
-    return total <= VMEM_RESIDENT_BUDGET
+    """Whether the whole [*tiles, B2, *ext] array plus the pipeline
+    scratch fits the VMEM budget (the single-program kernel needs the
+    tile array resident). Underestimating this is a hard compile error
+    (scoped-vmem OOM), so the scratch term uses the worst case."""
+    tiles = (geom.num_tiles * batch2 * int(np.prod(geom.ext))) * 4
+    return tiles + _scratch_bytes(geom, batch2) <= VMEM_RESIDENT_BUDGET
 
 
 def resident_group_size(geom: TileGeometry) -> int:
@@ -266,8 +276,13 @@ def _spread_kernel_resident_mats(*refs, geom: TileGeometry, batch2):
                                   sems.at[slot, d])
             for d in range(rank)]
         dmas.append(
-            pltpu.make_async_copy(values_hbm.at[k], v_scratch.at[slot],
-                                  sems.at[slot, rank]))
+            pltpu.make_async_copy(
+                # Clamp: prefetch preamble probes k past the last chunk
+                # (execution is pl.when-guarded; concrete starts are
+                # statically bounds-checked).
+                values_hbm.at[:, pl.ds(jnp.minimum(
+                    k, geom.num_chunks - 1) * geom.chunk, geom.chunk)],
+                v_scratch.at[slot], sems.at[slot, rank]))
         return dmas
 
     for j in range(NBUF - 1):
@@ -319,8 +334,13 @@ def _spread_kernel_resident(*refs, geom: TileGeometry, beta, c,
         return (
             pltpu.make_async_copy(coords_hbm.at[k], c_scratch.at[slot],
                                   sems.at[slot, 0]),
-            pltpu.make_async_copy(values_hbm.at[k], v_scratch.at[slot],
-                                  sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                # Clamp: prefetch preamble probes k past the last chunk
+                # (execution is pl.when-guarded; concrete starts are
+                # statically bounds-checked).
+                values_hbm.at[:, pl.ds(jnp.minimum(
+                    k, geom.num_chunks - 1) * geom.chunk, geom.chunk)],
+                v_scratch.at[slot], sems.at[slot, 1]),
         )
 
     for j in range(NBUF - 1):
@@ -368,8 +388,13 @@ def _spread_kernel(bounds_ref, coords_hbm, values_hbm, tile_ref,
         return (
             pltpu.make_async_copy(coords_hbm.at[k], c_scratch.at[slot],
                                   sems.at[slot, 0]),
-            pltpu.make_async_copy(values_hbm.at[k], v_scratch.at[slot],
-                                  sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                # Clamp: prefetch preamble probes k past the last chunk
+                # (execution is pl.when-guarded; concrete starts are
+                # statically bounds-checked).
+                values_hbm.at[:, pl.ds(jnp.minimum(
+                    k, geom.num_chunks - 1) * geom.chunk, geom.chunk)],
+                v_scratch.at[slot], sems.at[slot, 1]),
         )
 
     for j in range(NBUF - 1):
@@ -399,18 +424,19 @@ def _spread_kernel(bounds_ref, coords_hbm, values_hbm, tile_ref,
     jax.lax.fori_loop(start, end, body, 0)
 
 
-def spread_pallas_tiles(strengths_pm: jax.Array, points_resc,
+def spread_pallas_tiles(strengths_cm: jax.Array, points_resc,
                         plan: NufftPlan, binned=None, mats=None):
-    """[M, B2] points-major real strengths + rescaled points (or
+    """[B2, M] channel-major real strengths + rescaled points (or
     (hi, lo) pair) -> ([*tiles, B2, *ext] extended tile blocks, geom).
 
-    Points-major input lets all channels move in one scatter when the
-    values payload is built (see binning.build_values_payload).
+    Channel-major input (the natural planar fold layout) lets all
+    channels move in one batched minor-axis gather when the values
+    payload is built (see binning.build_values_payload).
     ``binned``/``mats`` (from a planned transform) skip the points-side
     preprocessing and the in-kernel polynomial evaluation.
     """
     m = num_points_of(points_resc)
-    batch2 = strengths_pm.shape[1]
+    batch2 = strengths_cm.shape[0]
     geom = choose_geometry(plan.fine_shape, plan.width, m)
     rank = geom.rank
     if binned is None:
@@ -428,20 +454,20 @@ def spread_pallas_tiles(strengths_pm: jax.Array, points_resc,
         groups = []
         for i in range(0, batch2, group):
             g_tiles, _ = _spread_group(
-                strengths_pm[:, i:i + group], binned, coords_pl,
+                strengths_cm[i:i + group], binned, coords_pl,
                 geom, plan, mats)
             groups.append(g_tiles)
         return jnp.concatenate(groups, axis=rank), geom
-    tiles, _ = _spread_group(strengths_pm, binned, coords_pl, geom,
+    tiles, _ = _spread_group(strengths_cm, binned, coords_pl, geom,
                              plan, mats)
     return tiles, geom
 
 
-def _spread_group(strengths_pm, binned, coords_pl, geom: TileGeometry,
+def _spread_group(strengths_cm, binned, coords_pl, geom: TileGeometry,
                   plan: NufftPlan, mats=None):
-    batch2 = strengths_pm.shape[1]
+    batch2 = strengths_cm.shape[0]
     rank = geom.rank
-    values_pl = build_values_payload(strengths_pm, binned, geom)
+    values_pl = build_values_payload(strengths_cm, binned, geom)
     common = dict(
         geom=geom, beta=np.float32(plan.beta), c=np.float32(plan.c),
         half_width=np.float32(plan.half_width), batch2=batch2,
@@ -462,7 +488,7 @@ def _spread_group(strengths_pm, binned, coords_pl, geom: TileGeometry,
             scratch_shapes=(
                 [pltpu.VMEM((NBUF, geom.ext[d], geom.chunk),
                             jnp.float32) for d in range(rank)]
-                + [pltpu.VMEM((NBUF,) + values_pl.shape[1:],
+                + [pltpu.VMEM((NBUF, values_pl.shape[0], geom.chunk),
                               jnp.float32),
                    pltpu.SemaphoreType.DMA((NBUF, rank + 1))]),
         )
@@ -477,7 +503,7 @@ def _spread_group(strengths_pm, binned, coords_pl, geom: TileGeometry,
 
     payload_scratch = [
         pltpu.VMEM((NBUF,) + coords_pl.shape[1:], jnp.float32),
-        pltpu.VMEM((NBUF,) + values_pl.shape[1:], jnp.float32),
+        pltpu.VMEM((NBUF, values_pl.shape[0], geom.chunk), jnp.float32),
         pltpu.SemaphoreType.DMA((NBUF, 2)),
     ]
 
@@ -524,5 +550,5 @@ def spread_pallas(strengths: jax.Array, points_resc,
     """[B2, M] real strengths + [M, rank] rescaled points (or (hi, lo)
     pair) -> [B2, *fine_shape] fine grid."""
     tiles, geom = spread_pallas_tiles(
-        strengths.T.astype(jnp.float32), points_resc, plan)
+        strengths.astype(jnp.float32), points_resc, plan)
     return overlap_add(tiles, geom).astype(strengths.dtype)

@@ -65,13 +65,11 @@ def _execute_planar(source: jax.Array, points: jax.Array,
     if spec.transform_type == "type_1":
         if use_tiled:
             # Spread to per-tile blocks; overlap-add + DFT + truncation
-            # + deconvolution all fused into one contraction. Points-
-            # major [M, 2B] input: row (b, ch) order matches _fold's.
-            src_pm = jnp.swapaxes(source, 0, 1).reshape(
-                source.shape[1], 2 * batch)
+            # + deconvolution all fused into one contraction. Channel-
+            # major [2B, M] input is exactly _fold's layout.
             with prof.scope("nufft.spread"):
                 tiles, geom = dispatch.spread_tiled(
-                    src_pm, points_resc, plan)
+                    _fold(source), points_resc, plan)
             with prof.scope("nufft.mode_dft_deconvolve"):
                 out = dft_truncate_deconvolve_tiled(tiles, plan, geom,
                                                     batch)

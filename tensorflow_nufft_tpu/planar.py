@@ -432,9 +432,10 @@ class PlannedNufft:
         batch = source.shape[0]
         m = self.points.shape[0]
         if self.transform_type == "type_1":
-            src_pm = jnp.swapaxes(source, 0, 1).reshape(m, 2 * batch)
+            # Channel-major fold: [B, M, 2] -> [2B, M] (row order (b, ch)).
+            src_cm = jnp.moveaxis(source, -1, 1).reshape(2 * batch, m)
             tiles, _ = spread_pallas_tiles(
-                src_pm.astype(jnp.float32), self.points_resc, self.plan,
+                src_cm.astype(jnp.float32), self.points_resc, self.plan,
                 binned=self.binned, mats=self.mats)
             out = dft_truncate_deconvolve_tiled(
                 tiles, self.plan, self.geom, batch)

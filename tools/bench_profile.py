@@ -65,7 +65,7 @@ def main():
     m = args.points
     rng = np.random.default_rng(42)
     points = rng.uniform(-np.pi, np.pi, (m, 2)).astype(np.float32)
-    vals = rng.standard_normal((m, 2)).astype(np.float32)  # points-major
+    vals = rng.standard_normal((2, m)).astype(np.float32)  # channel-major
 
     spec = PlanSpec("type_1", "forward", 2, grid, "complex64", 1e-6, 0)
     plan = make_plan(spec)
