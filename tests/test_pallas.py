@@ -205,3 +205,62 @@ class TestPlannedNufft:
         got = np.asarray(op(src))
         ref = np.asarray(tfft.planar.nufft(src, pts, grid_shape=grid))
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+class TestPayloadBuilds:
+    """Pin the gather-based payload semantics (the padded chunk stream
+    the Pallas kernels consume): invpos is the exact inverse of padpos,
+    values land flat at their slots with zeros in padded slots, and
+    coords carry SENTINEL in the sentinel rows of padded slots."""
+
+    @pytest.mark.parametrize("rank", [1, 2, 3])
+    def test_invpos_inverse_of_padpos(self, rng, rank):
+        m = 700
+        fine = {1: (256,), 2: (64, 64), 3: (32, 32, 32)}[rank]
+        pts = rng.uniform(0, np.array(fine) - 1e-3,
+                          (m, rank)).astype(np.float32)
+        geom = binning.choose_geometry(fine, 5, m, chunk=64)
+        b = binning.bin_points(jnp.asarray(pts), geom)
+        padpos = np.asarray(b.padpos)
+        invpos = np.asarray(b.invpos)
+        np.testing.assert_array_equal(invpos[padpos], np.arange(m))
+        pad_mask = np.ones(geom.num_chunks * geom.chunk, bool)
+        pad_mask[padpos] = False
+        assert np.all(invpos[pad_mask] == m)
+
+    def test_values_payload_flat_slots(self, rng):
+        m, b2 = 300, 2
+        geom = binning.choose_geometry((64, 64), 5, m, chunk=64)
+        pts = rng.uniform(0, 64 - 1e-3, (m, 2)).astype(np.float32)
+        b = binning.bin_points(jnp.asarray(pts), geom)
+        vals = rng.standard_normal((b2, m)).astype(np.float32)
+        pay = np.asarray(binning.build_values_payload(
+            jnp.asarray(vals), b, geom))
+        ncc = geom.num_chunks * geom.chunk
+        assert pay.shape == (8, ncc)           # sublane-padded rows
+        padpos = np.asarray(b.padpos)
+        ref = np.zeros((8, ncc), np.float32)
+        ref[:b2, padpos] = vals
+        np.testing.assert_array_equal(pay, ref)
+
+    def test_coords_payload_sentinels(self, rng):
+        m = 200
+        geom = binning.choose_geometry((64, 64), 5, m, chunk=64)
+        pts = rng.uniform(0, 64 - 1e-3, (m, 2)).astype(np.float32)
+        b = binning.bin_points(jnp.asarray(pts), geom)
+        coords = np.asarray(binning.build_coords_payload(b, geom))
+        assert coords.shape == (geom.num_chunks, 8, geom.chunk)
+        flat = coords.reshape(geom.num_chunks, 8, geom.chunk)
+        padpos = np.asarray(b.padpos)
+        chunk_of, slot_of = padpos // geom.chunk, padpos % geom.chunk
+        for d in range(2):
+            np.testing.assert_array_equal(
+                flat[chunk_of, d, slot_of], pts[:, d])
+        pad_mask = np.ones((geom.num_chunks, geom.chunk), bool)
+        pad_mask[chunk_of, slot_of] = False
+        # Sentinel rows (coordinate high words) read SENTINEL in pads.
+        for d in range(2):
+            assert np.all(flat[:, d, :][pad_mask] == binning.SENTINEL)
+        # Non-sentinel rows read zero in pads.
+        for r in range(2, 8):
+            assert np.all(flat[:, r, :][pad_mask] == 0.0)
