@@ -193,26 +193,32 @@ def _linear_tile_id(geom: TileGeometry):
 # four keep the stream ahead of compute.
 NBUF = 4
 
-# VMEM budget for one resident program: tile array + DMA scratch must
-# fit v5e's ~16 MB VMEM with compiler headroom.
-VMEM_RESIDENT_BUDGET = 14 * 2 ** 20
+# VMEM budget for one resident program: tile array + DMA scratch +
+# kernel-stack temporaries must fit v5e's ~16 MB VMEM with compiler
+# headroom (Mosaic reserves a few MB for vregs/spills; 12 MB of modeled
+# use is the empirically safe ceiling).
+VMEM_RESIDENT_BUDGET = 12 * 2 ** 20
 
 
 def _scratch_bytes(geom: TileGeometry, batch2: int) -> int:
-    """Worst-case pipeline scratch of the resident kernels: NBUF
-    double-buffered per-chunk payloads (precomputed [E_d, C] kernel
-    matrices dominate; the coords/values variant is smaller) plus the
-    interp side's two outbound [B2, C] buffers."""
+    """Worst-case VMEM footprint of a resident kernel beyond the tile
+    array: NBUF double-buffered per-chunk payloads (precomputed [E_d, C]
+    kernel matrices dominate; the coords/values variant is smaller), the
+    interp side's two outbound [B2, C] buffers, and the kernel-stack
+    temporaries of the statically-unrolled per-channel contractions
+    (~one [E_max, C] f32 intermediate per channel — Mosaic does not
+    reliably reuse stack slots across the unroll, and underestimating
+    this is a hard compile error: 'scoped vmem' stack OOM)."""
     per_chunk = (sum(geom.ext) + 8) * geom.chunk
     out_stream = 2 * batch2 * geom.chunk
-    return 4 * (NBUF * per_chunk + out_stream)
+    stack = batch2 * max(geom.ext) * geom.chunk
+    return 4 * (NBUF * per_chunk + out_stream + stack)
 
 
 def resident_fits(geom: TileGeometry, batch2: int) -> bool:
-    """Whether the whole [*tiles, B2, *ext] array plus the pipeline
-    scratch fits the VMEM budget (the single-program kernel needs the
-    tile array resident). Underestimating this is a hard compile error
-    (scoped-vmem OOM), so the scratch term uses the worst case."""
+    """Whether the whole [*tiles, B2, *ext] array plus scratch + stack
+    fits the VMEM budget (the single-program kernel needs the tile
+    array resident)."""
     tiles = (geom.num_tiles * batch2 * int(np.prod(geom.ext))) * 4
     return tiles + _scratch_bytes(geom, batch2) <= VMEM_RESIDENT_BUDGET
 
