@@ -169,21 +169,30 @@ class BinnedPoints(NamedTuple):
 _SEGMENT = 128
 
 
+# Above this tile count the one-hot multiply-reduce tables in
+# _ranks_and_starts (cost ~ M * num_tiles elements of fused traffic)
+# lose to plain scatter/gather (cost ~ M): the 3D 128^3 geometry has
+# 2048 tiles, where the one-hot intermediates reach ~6 GB.
+_ONEHOT_MAX_TILES = 128
+
+
 def _ranks_and_starts(tid: jax.Array, num_tiles: int, chunk: int):
     """Stable rank of each point within its tile and the per-point chunk
-    base slot, without sorting and without per-element gathers.
+    base slot, without sorting.
 
     Points are cut into segments of _SEGMENT; within a segment the rank
     comes from a strict-lower-triangular equality count (a [G, S, S]
     elementwise reduce), and across segments from per-(segment, tile)
-    count prefix sums. All tid-indexed table lookups are expressed as
-    one-hot matmuls on the MXU — per-element gathers from small tables
-    are surprisingly expensive on TPU (~0.3 ms per 65k lookups),
-    matmuls are microseconds. Counts stay < 2^24 so float32 matmul
-    arithmetic is exact.
+    count prefix sums. For small tile counts all tid-indexed table
+    lookups are expressed as one-hot multiply-reduces — per-element
+    gathers from small tables are surprisingly expensive on TPU
+    (~4 ns/index vs microseconds for the whole one-hot reduce); past
+    _ONEHOT_MAX_TILES the one-hot tensors ([G, S, T+1]) dominate and
+    the scatter/gather form wins. Counts stay < 2^24 so float32
+    arithmetic is exact in both forms (ranking_is_exact guards this).
 
-    Returns (rank [M] int32, counts [T] int32, chunk_base [M] int32)
-    where chunk_base = chunk_starts[tid] * chunk.
+    Returns (rank [M] int32, counts [T] int32, chunk_base [M] int32,
+    chunk_starts [T] int32) where chunk_base = chunk_starts[tid] * chunk.
     """
     m = tid.shape[0]
     s = _SEGMENT
@@ -194,30 +203,48 @@ def _ranks_and_starts(tid: jax.Array, num_tiles: int, chunk: int):
         [tid, jnp.full((pad,), num_tiles, tid.dtype)]) if pad else tid
     tid3 = tid_p.reshape(g, s)
 
-    # Within-segment rank: strict lower-triangular equality count.
+    # Within-segment rank: strict lower-triangular equality count
+    # (tile-count independent).
     eq = (tid3[:, :, None] == tid3[:, None, :])
     lower = (jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
              < jax.lax.broadcasted_iota(jnp.int32, (s, s), 1))
     rank_in_seg = jnp.sum(
         (eq & lower[None]).astype(jnp.int32), axis=1)        # [G, S]
 
-    onehot = (tid3[:, :, None] ==
-              jnp.arange(num_tiles + 1, dtype=tid.dtype)[None, None, :]
-              ).astype(jnp.float32)                          # [G, S, T+1]
-    seg_counts = jnp.sum(onehot, axis=1)                     # [G, T+1]
-    cum = jax.lax.associative_scan(jnp.add, seg_counts, axis=0)
-    seg_prefix = cum - seg_counts                            # exclusive
-    counts_f = cum[-1]
-
-    # Tables looked up by tid, via one-hot multiply-reduce on the VPU
-    # (f32 is exact here: every value < 2^24). Per-element gathers from
-    # small tables are ~0.3 ms per 65k lookups on TPU; this is
-    # microseconds.
-    rounds = jnp.maximum(jnp.ceil(counts_f / chunk), 1.0)
-    chunk_starts_f = jnp.cumsum(rounds) - rounds             # [T+1]
-    prefix_of_point = jnp.sum(onehot * seg_prefix[:, None, :], axis=2)
-    chunk_base = jnp.sum(
-        onehot * (chunk_starts_f * chunk)[None, None, :], axis=2)
+    if num_tiles + 1 <= _ONEHOT_MAX_TILES:
+        onehot = (tid3[:, :, None] ==
+                  jnp.arange(num_tiles + 1,
+                             dtype=tid.dtype)[None, None, :]
+                  ).astype(jnp.float32)                      # [G, S, T+1]
+        seg_counts = jnp.sum(onehot, axis=1)                 # [G, T+1]
+        cum = jax.lax.associative_scan(jnp.add, seg_counts, axis=0)
+        seg_prefix = cum - seg_counts                        # exclusive
+        counts_f = cum[-1]
+        rounds = jnp.maximum(jnp.ceil(counts_f / chunk), 1.0)
+        chunk_starts_f = jnp.cumsum(rounds) - rounds         # [T+1]
+        prefix_of_point = jnp.sum(
+            onehot * seg_prefix[:, None, :], axis=2)
+        chunk_base = jnp.sum(
+            onehot * (chunk_starts_f * chunk)[None, None, :], axis=2)
+    else:
+        # Scatter/gather form: one 1D scatter-add builds the
+        # per-(segment, tile) histogram, per-point table reads are 1D
+        # gathers through the flattened [G*(T+1)] layout.
+        seg_id = jax.lax.broadcasted_iota(jnp.int32, (g, s), 0)
+        flat_idx = (seg_id * (num_tiles + 1)
+                    + tid3.astype(jnp.int32)).reshape(g * s)
+        seg_counts = jnp.zeros((g * (num_tiles + 1),), jnp.float32
+                               ).at[flat_idx].add(1.0).reshape(
+            g, num_tiles + 1)
+        cum = jax.lax.associative_scan(jnp.add, seg_counts, axis=0)
+        seg_prefix = cum - seg_counts                        # exclusive
+        counts_f = cum[-1]
+        rounds = jnp.maximum(jnp.ceil(counts_f / chunk), 1.0)
+        chunk_starts_f = jnp.cumsum(rounds) - rounds         # [T+1]
+        prefix_of_point = seg_prefix.reshape(g * (num_tiles + 1)
+                                             )[flat_idx].reshape(g, s)
+        chunk_base = (chunk_starts_f * chunk)[
+            tid3.reshape(g * s)].reshape(g, s)
 
     rank = (rank_in_seg
             + prefix_of_point.astype(jnp.int32)).reshape(g * s)[:m]

@@ -264,3 +264,37 @@ class TestPayloadBuilds:
         # Non-sentinel rows read zero in pads.
         for r in range(2, 8):
             assert np.all(flat[:, r, :][pad_mask] == 0.0)
+
+
+class TestRankingBranches:
+    """The one-hot and scatter/gather forms of _ranks_and_starts must
+    agree with a numpy oracle; num_tiles selects the branch
+    (_ONEHOT_MAX_TILES boundary)."""
+
+    @pytest.mark.parametrize("tiles_1d", [8, 24])   # 64 / 576 tiles
+    def test_padpos_matches_oracle(self, rng, tiles_1d):
+        t = 64
+        fine = (tiles_1d * t, tiles_1d * t)
+        m = 5000
+        pts = rng.uniform(0, fine[0] - 1e-2, (m, 2)).astype(np.float32)
+        geom = binning.choose_geometry(fine, 5, m, chunk=128,
+                                       tile_pref=t)
+        assert geom.tile == (t, t)
+        b = binning.bin_points(jnp.asarray(pts), geom)
+        padpos = np.asarray(b.padpos)
+
+        # Numpy oracle: stable counting layout.
+        nt = tiles_1d
+        tid = ((pts[:, 0] // t).astype(int) * nt
+               + (pts[:, 1] // t).astype(int))
+        counts = np.bincount(tid, minlength=nt * nt)
+        rounds = np.maximum(-(-counts // geom.chunk), 1)
+        chunk_starts = np.cumsum(rounds) - rounds
+        seen = np.zeros(nt * nt, int)
+        expect = np.empty(m, int)
+        for i in range(m):
+            expect[i] = chunk_starts[tid[i]] * geom.chunk + seen[tid[i]]
+            seen[tid[i]] += 1
+        np.testing.assert_array_equal(padpos, expect)
+        tb = np.asarray(b.tile_bounds)
+        np.testing.assert_array_equal(tb[:-1], chunk_starts)
