@@ -109,6 +109,21 @@ def _ext_mode_twiddles(nf: int, n: int, num_tiles: int, tile: int,
     return c.T.copy(), s.T.copy()
 
 
+# Above this extended-row duplication factor (prod(nt*E) / prod(nf))
+# the fused overlap-add contraction loses to explicit overlap-add +
+# plain per-axis matmuls: the extended matrices do duplicated work AND
+# their irregular row structure is pathological for the TPU compiler at
+# 3D scale (measured on v5e: fused 3D t1 contraction 529 ms steady with
+# a ~20 min compile; unfused 25 ms with a 2 s compile. The fused t2
+# expansion direction is worse still — 17.6 s steady).
+_FUSED_DUP_MAX = 1.5
+
+
+def _ext_duplication(geom) -> float:
+    return float(np.prod([nt * e for nt, e in zip(geom.tiles, geom.ext)])
+                 / np.prod(geom.fine_shape))
+
+
 def dft_truncate_deconvolve_tiled(tiles: jax.Array, plan, geom,
                                   batch: int,
                                   precision=jax.lax.Precision.HIGHEST
@@ -122,6 +137,16 @@ def dft_truncate_deconvolve_tiled(tiles: jax.Array, plan, geom,
         [batch, *grid_shape, 2] planar modes (CMCL).
     """
     rank = plan.rank
+    if _ext_duplication(geom) > _FUSED_DUP_MAX:
+        from tensorflow_nufft_tpu.kernels.binning import overlap_add
+        fine = overlap_add(tiles, geom)              # [B2, *fine]
+        x = fine.reshape((batch, 2) + geom.fine_shape)
+        x = jnp.moveaxis(x, 1, -1)                   # [B, *fine, 2]
+        # Materialize before the matmul chain: XLA fusing the
+        # overlap-add concats into the first tensordot's operand is a
+        # ~10x slowdown (46 + 25 ms parts vs 606 ms fused, v5e 256^3).
+        x = jax.lax.optimization_barrier(x)
+        return dft_truncate_deconvolve(x, plan, precision)
     sign = -1.0 if plan.spec.fft_direction == "forward" else 1.0
     # [nt_0.., B2, E_0..] -> [B2, nt_0, E_0, nt_1, E_1, ...]
     perm = [rank]
@@ -144,6 +169,30 @@ def dft_truncate_deconvolve_tiled(tiles: jax.Array, plan, geom,
     return jnp.stack([xr, xi], axis=-1)
 
 
+def _amplify_embed(modes: jax.Array, plan) -> jax.Array:
+    """[B, *grid, 2] CMCL modes -> [B, *fine, 2] fine-grid spectrum:
+    separable multiply by the deconvolution weights, then zero-pad into
+    the fine grid at the wrapped CMCL slots (mode i at fine index
+    (i - n//2) mod nf: place at [0, n) and roll by -(n//2)). Cheap
+    elementwise + slicing; the DFT itself then runs on clean
+    power-of-two axes (see _FUSED_DUP_MAX)."""
+    rank = plan.rank
+    x = modes
+    for d in range(rank):
+        n = plan.grid_shape[d]
+        nf = plan.fine_shape[d]
+        ax = 1 + d
+        w_shape = [1] * x.ndim
+        w_shape[ax] = n
+        x = x * jnp.asarray(plan.deconv_weights(d),
+                            x.dtype).reshape(w_shape)
+        pad_widths = [(0, 0)] * x.ndim
+        pad_widths[ax] = (0, nf - n)
+        x = jnp.pad(x, pad_widths)
+        x = jnp.roll(x, -(n // 2), axis=ax)
+    return x
+
+
 def amplify_pad_dft_tiled(modes: jax.Array, plan, geom,
                           precision=jax.lax.Precision.HIGHEST
                           ) -> jax.Array:
@@ -158,6 +207,19 @@ def amplify_pad_dft_tiled(modes: jax.Array, plan, geom,
         so the full fine grid never materializes.
     """
     rank = plan.rank
+    if _ext_duplication(geom) > _FUSED_DUP_MAX:
+        from tensorflow_nufft_tpu.kernels.binning import extend_tiles
+        # Barriers pin each stage's output layout; cross-stage fusion
+        # of pad/roll/slice chains into matmul operands measured ~100x
+        # slower (see dft_truncate_deconvolve_tiled).
+        x = jax.lax.optimization_barrier(
+            _amplify_embed(modes, plan))             # [B, *fine, 2]
+        x = jax.lax.optimization_barrier(
+            dft_planar(x, rank, plan.spec.fft_direction, precision))
+        batch = modes.shape[0]
+        fine = jnp.moveaxis(x, -1, 1).reshape(
+            (2 * batch,) + plan.fine_shape)          # [B2, *fine]
+        return extend_tiles(fine, geom)
     sign = -1.0 if plan.spec.fft_direction == "forward" else 1.0
     batch = modes.shape[0]
     xr, xi = modes[..., 0], modes[..., 1]
