@@ -136,6 +136,14 @@ def choose_geometry(fine_shape: Sequence[int], width: int,
     sum_ext = sum(t + 2 * pad for t in tile)
     vmem_cap = max(256, ((2 << 20) // (4 * sum_ext)) // 256 * 256)
     chunk = min(chunk, vmem_cap)
+    if rank == 3:
+        # The rank-3 Khatri-Rao contraction holds ~7 live [E0*E1, C]
+        # f32 copies per channel on the Mosaic kernel stack (calibrated
+        # from v5e scoped-vmem OOM reports; pallas_spread._stack_bytes)
+        # — keep two channels' worth under ~9.5 MB.
+        e0e1 = (tile[0] + 2 * pad) * (tile[1] + 2 * pad)
+        cap3 = max(128, int(9.5e6 // (2 * 7 * 4 * e0e1)) // 128 * 128)
+        chunk = min(chunk, cap3)
     chunk = min(chunk, max(64, int(np.ceil(num_points / 64)) * 64))
     num_chunks = num_points // chunk + num_tiles
     return TileGeometry(fine_shape, tile, pad, chunk, num_chunks)

@@ -216,26 +216,28 @@ def _interp_kernel(bounds_ref, payload_hbm, tile_ref, out_hbm,
 
 def interp_pallas_tiled(tiles: jax.Array, points_resc,
                         plan: NufftPlan, geom: TileGeometry,
-                        binned=None, mats=None) -> jax.Array:
+                        binned=None, mats=None,
+                        coords=None) -> jax.Array:
     """[*tiles, B2, *ext] extended blocks + rescaled points ->
     [B2, M]. The halo windowing is the caller's (fused into the upstream
     contraction by amplify_pad_dft_tiled, or done by extend_tiles).
     ``binned``/``mats`` (from a planned transform) skip the points-side
     preprocessing and the in-kernel polynomial evaluation."""
     from tensorflow_nufft_tpu.kernels.pallas_spread import (
-        MAX_CHANNELS, resident_group_size)
+        resident_group_size, streaming_group_size)
     rank = geom.rank
     batch2 = tiles.shape[rank]
     if binned is None:
         binned = bin_points(points_resc, geom)
-    group = MAX_CHANNELS
+    group = streaming_group_size(geom)
     if mats is not None:
         group = resident_group_size(geom)
-    payload = None
+    payload = coords
     if mats is None or group == 0:
-        payload = build_coords_payload(binned, geom)
+        if payload is None:
+            payload = build_coords_payload(binned, geom)
         if group == 0:
-            mats, group = None, MAX_CHANNELS
+            mats, group = None, streaming_group_size(geom)
     if batch2 > group:
         groups = []
         for i in range(0, batch2, group):

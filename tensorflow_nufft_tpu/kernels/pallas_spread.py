@@ -200,19 +200,34 @@ NBUF = 4
 VMEM_RESIDENT_BUDGET = 12 * 2 ** 20
 
 
+def _stack_bytes(geom: TileGeometry, batch2: int) -> int:
+    """Mosaic kernel-stack temporaries of the unrolled per-channel
+    contractions. The largest live intermediate is [rows, C] with
+    rows = E0*E1 for the rank-3 Khatri-Rao fold, max(E) otherwise;
+    HIGHEST-precision matmuls stage multiple bf16-pass copies of it.
+    The rank-3 multiplier is calibrated from v5e scoped-vmem OOM
+    reports (9.15 MB/channel at E0*E1=640, C=512 => ~7 copies); the
+    rank<=2 multiplier of 1 is calibrated from which 2D group sizes
+    compile. Underestimating is a hard compile error ('scoped vmem'
+    stack OOM)."""
+    rank = geom.rank
+    if rank == 3:
+        rows, copies = geom.ext[0] * geom.ext[1], 7
+    else:
+        rows, copies = max(geom.ext), 1
+    return 4 * batch2 * copies * rows * geom.chunk
+
+
 def _scratch_bytes(geom: TileGeometry, batch2: int) -> int:
     """Worst-case VMEM footprint of a resident kernel beyond the tile
     array: NBUF double-buffered per-chunk payloads (precomputed [E_d, C]
     kernel matrices dominate; the coords/values variant is smaller), the
     interp side's two outbound [B2, C] buffers, and the kernel-stack
-    temporaries of the statically-unrolled per-channel contractions
-    (~one [E_max, C] f32 intermediate per channel — Mosaic does not
-    reliably reuse stack slots across the unroll, and underestimating
-    this is a hard compile error: 'scoped vmem' stack OOM)."""
+    temporaries (see _stack_bytes)."""
     per_chunk = (sum(geom.ext) + 8) * geom.chunk
     out_stream = 2 * batch2 * geom.chunk
-    stack = batch2 * max(geom.ext) * geom.chunk
-    return 4 * (NBUF * per_chunk + out_stream + stack)
+    return (4 * (NBUF * per_chunk + out_stream)
+            + _stack_bytes(geom, batch2))
 
 
 def resident_fits(geom: TileGeometry, batch2: int) -> bool:
@@ -233,6 +248,20 @@ def resident_group_size(geom: TileGeometry) -> int:
             return g
         g -= 2
     return 0
+
+
+def streaming_group_size(geom: TileGeometry) -> int:
+    """Channel-group size for the per-tile-grid (streaming) kernels:
+    their VMEM cost is one [g, *ext] block plus pipeline scratch and
+    the contraction stack — the rank-3 stack term forces small groups
+    (the tile block itself is tiny)."""
+    g = MAX_CHANNELS
+    while g > 2:
+        block = g * int(np.prod(geom.ext)) * 4
+        if block + _scratch_bytes(geom, g) <= VMEM_RESIDENT_BUDGET:
+            return g
+        g -= 2
+    return 2
 
 
 def accumulate_spread_at(out_ref, tids, mats_t, data,
@@ -431,7 +460,8 @@ def _spread_kernel(bounds_ref, coords_hbm, values_hbm, tile_ref,
 
 
 def spread_pallas_tiles(strengths_cm: jax.Array, points_resc,
-                        plan: NufftPlan, binned=None, mats=None):
+                        plan: NufftPlan, binned=None, mats=None,
+                        coords=None):
     """[B2, M] channel-major real strengths + rescaled points (or
     (hi, lo) pair) -> ([*tiles, B2, *ext] extended tile blocks, geom).
 
@@ -447,14 +477,15 @@ def spread_pallas_tiles(strengths_cm: jax.Array, points_resc,
     rank = geom.rank
     if binned is None:
         binned = bin_points(points_resc, geom)
-    group = MAX_CHANNELS
+    group = streaming_group_size(geom)
     if mats is not None:
         group = resident_group_size(geom)
-    coords_pl = None
+    coords_pl = coords
     if mats is None or group == 0:
-        coords_pl = build_coords_payload(binned, geom)
+        if coords_pl is None:
+            coords_pl = build_coords_payload(binned, geom)
         if group == 0:
-            mats, group = None, MAX_CHANNELS
+            mats, group = None, streaming_group_size(geom)
 
     if batch2 > group:
         groups = []

@@ -371,16 +371,24 @@ class PlannedNufft:
             backend=options.backend)
         self.spec = spec
         self.plan = make_plan(spec)
-        self._planned = dispatch.pallas_active(
-            self.plan, points.dtype, points.shape[0])
-        if self._planned:
+        # Plan levels: 'mats' precomputes binning + per-chunk ES kernel
+        # matrices (pure DMA + MXU resident kernels); 'binned' — for
+        # geometries whose tile arrays exceed VMEM (3D, large 2D grids)
+        # — still hoists binning and the coords payload so per-call work
+        # is only the values payload + kernels; 'none' falls back to the
+        # unplanned op.
+        self._level = "none"
+        if dispatch.pallas_active(self.plan, points.dtype,
+                                  points.shape[0]):
             from tensorflow_nufft_tpu.kernels.pallas_spread import (
                 resident_group_size)
             geom = binning.choose_geometry(
                 self.plan.fine_shape, self.plan.width,
                 int(points.shape[0]))
-            self._planned = (binning.mats_supported(geom)
-                             and resident_group_size(geom) >= 2)
+            self._level = ("mats" if (binning.mats_supported(geom)
+                                      and resident_group_size(geom) >= 2)
+                           else "binned")
+        self._planned = self._level != "none"
         if not self._planned:
             return
         self.geom = geom
@@ -390,14 +398,22 @@ class PlannedNufft:
             pr = fold_and_rescale_split(pts, self.plan.fine_shape,
                                         spec.points_range)
             binned = binning.bin_points(pr, geom)
-            mats = binning.build_kernel_matrix_payload(
-                binned, geom, self.plan)
-            return pr, binned, mats
+            if self._level == "mats":
+                aux = binning.build_kernel_matrix_payload(
+                    binned, geom, self.plan)
+            else:
+                aux = binning.build_coords_payload(binned, geom)
+            return pr, binned, aux
 
-        pr, binned, mats = _prep(points)
+        pr, binned, aux = _prep(points)
         self.points_resc = jax.tree.map(jnp.asarray, pr)
         self.binned = jax.tree.map(jnp.asarray, binned)
-        self.mats = jax.tree.map(jnp.asarray, mats)
+        if self._level == "mats":
+            self.mats = jax.tree.map(jnp.asarray, aux)
+            self.coords = None
+        else:
+            self.mats = None
+            self.coords = jnp.asarray(aux)
         self._adjoint = None
 
     def adjoint(self) -> "PlannedNufft":
@@ -436,14 +452,14 @@ class PlannedNufft:
             src_cm = jnp.moveaxis(source, -1, 1).reshape(2 * batch, m)
             tiles, _ = spread_pallas_tiles(
                 src_cm.astype(jnp.float32), self.points_resc, self.plan,
-                binned=self.binned, mats=self.mats)
+                binned=self.binned, mats=self.mats, coords=self.coords)
             out = dft_truncate_deconvolve_tiled(
                 tiles, self.plan, self.geom, batch)
             return out.astype(source.dtype)
         tiles = amplify_pad_dft_tiled(source, self.plan, self.geom)
         values = interp_pallas_tiled(
             tiles, self.points_resc, self.plan, self.geom,
-            binned=self.binned, mats=self.mats)
+            binned=self.binned, mats=self.mats, coords=self.coords)
         split = values.reshape(batch, 2, m)
         return jnp.moveaxis(split, 1, -1).astype(source.dtype)
 
