@@ -109,19 +109,12 @@ def _ext_mode_twiddles(nf: int, n: int, num_tiles: int, tile: int,
     return c.T.copy(), s.T.copy()
 
 
-# Above this extended-row duplication factor (prod(nt*E) / prod(nf))
-# the fused overlap-add contraction loses to explicit overlap-add +
-# plain per-axis matmuls: the extended matrices do duplicated work AND
-# their irregular row structure is pathological for the TPU compiler at
-# 3D scale (measured on v5e: fused 3D t1 contraction 529 ms steady with
-# a ~20 min compile; unfused 25 ms with a 2 s compile. The fused t2
-# expansion direction is worse still — 17.6 s steady).
-_FUSED_DUP_MAX = 1.5
-
-
-def _ext_duplication(geom) -> float:
-    return float(np.prod([nt * e for nt, e in zip(geom.tiles, geom.ext)])
-                 / np.prod(geom.fine_shape))
+# Historical note: an earlier fused formulation contracted 2-D
+# [nt*E, n] matrices against a pre-transposed [B2, nt0*E0, ...] layout;
+# the pre/post transposes made it pathological at 3D scale (529 ms
+# steady, ~20 min compile on v5e). The pair-contraction below keeps the
+# fusion but contracts (tile, ext) axis PAIRS on the kernels' native
+# layout, which removes the relayouts entirely.
 
 
 def dft_truncate_deconvolve_tiled(tiles: jax.Array, plan, geom,
@@ -130,42 +123,51 @@ def dft_truncate_deconvolve_tiled(tiles: jax.Array, plan, geom,
                                   ) -> jax.Array:
     """Type-1 post-stage directly from per-tile extended spread output.
 
+    Contracts each (tile, ext) axis pair of the kernel's native
+    [*tiles, B2, *ext] layout with a wrap-aware [nt_d, E_d, n_d]
+    twiddle tensor — one two-contracting-dim dot_general per planar
+    part per axis. The periodic overlap-add of tile halos happens
+    implicitly: extended rows that alias the same fine-grid index get
+    identical twiddle rows and the contraction is linear. No fold or
+    relayout of the tile array ever materializes — the previous
+    overlap_add + per-axis-DFT formulation spent ~20 of its 32 ms at
+    3D 256^3 scale in the 7-D transpose (v5e; pairdot total 11.8 ms).
+
     Args:
-        tiles: [*tiles, B2, *ext] float (B2 = 2*batch folded channels).
+        tiles: [*tiles, B2, *ext] float (B2 = 2*batch folded channels,
+            row order (b, ch)).
 
     Returns:
         [batch, *grid_shape, 2] planar modes (CMCL).
     """
     rank = plan.rank
-    if _ext_duplication(geom) > _FUSED_DUP_MAX:
-        from tensorflow_nufft_tpu.kernels.binning import overlap_add
-        fine = overlap_add(tiles, geom)              # [B2, *fine]
-        x = fine.reshape((batch, 2) + geom.fine_shape)
-        x = jnp.moveaxis(x, 1, -1)                   # [B, *fine, 2]
-        # Materialize before the matmul chain: XLA fusing the
-        # overlap-add concats into the first tensordot's operand is a
-        # ~10x slowdown (46 + 25 ms parts vs 606 ms fused, v5e 256^3).
-        x = jax.lax.optimization_barrier(x)
-        return dft_truncate_deconvolve(x, plan, precision)
     sign = -1.0 if plan.spec.fft_direction == "forward" else 1.0
-    # [nt_0.., B2, E_0..] -> [B2, nt_0, E_0, nt_1, E_1, ...]
-    perm = [rank]
-    for d in range(rank):
-        perm.extend([d, rank + 1 + d])
-    x = jnp.transpose(tiles, perm)
-    nt = geom.tiles
-    ext = geom.ext
-    x = x.reshape((x.shape[0],) + tuple(
-        nt[d] * ext[d] for d in range(rank)))
-    x = x.reshape((batch, 2) + x.shape[1:])
-    xr, xi = x[:, 0], x[:, 1]
+    xs = tiles.reshape(geom.tiles + (batch, 2) + geom.ext)
+    ext_all = (slice(None),) * rank
+    xr = xs[(Ellipsis, 0) + ext_all]         # [*tiles, batch, *ext]
+    xi = xs[(Ellipsis, 1) + ext_all]
     for d in range(rank):
         c_np, s_np = _ext_mode_twiddles(
-            plan.fine_shape[d], plan.grid_shape[d], nt[d], geom.tile[d],
-            geom.pad, sign, plan.deconv_weights(d), truncating=True)
-        c = jnp.asarray(c_np, xr.dtype)
-        s = jnp.asarray(s_np, xr.dtype)
-        xr, xi = _contract_planar(xr, xi, c, s, 1 + d, precision)
+            plan.fine_shape[d], plan.grid_shape[d], geom.tiles[d],
+            geom.tile[d], geom.pad, sign, plan.deconv_weights(d),
+            truncating=True)
+        nt, e = geom.tiles[d], geom.ext[d]
+        c = jnp.asarray(c_np.reshape(nt, e, -1), xr.dtype)
+        s = jnp.asarray(s_np.reshape(nt, e, -1), xr.dtype)
+        # Remaining layout: [nt_d.., batch, E_d.., n_0..d-1]; the
+        # current tile axis is 0 and its ext axis sits right after the
+        # batch axis.
+        ext_pos = (rank - d) + 1
+        dn = (((0, ext_pos), (0, 1)), ((), ()))
+
+        def dot(a, m):
+            return jax.lax.dot_general(
+                a, m, dn, preferred_element_type=a.dtype,
+                precision=precision)
+
+        ar, br = dot(xr, c), dot(xr, s)
+        ai, bi = dot(xi, c), dot(xi, s)
+        xr, xi = ar - bi, ai + br
     return jnp.stack([xr, xi], axis=-1)
 
 
@@ -175,7 +177,7 @@ def _amplify_embed(modes: jax.Array, plan) -> jax.Array:
     the fine grid at the wrapped CMCL slots (mode i at fine index
     (i - n//2) mod nf: place at [0, n) and roll by -(n//2)). Cheap
     elementwise + slicing; the DFT itself then runs on clean
-    power-of-two axes (see _FUSED_DUP_MAX)."""
+    power-of-two axes (kept for stage-bisection tooling)."""
     rank = plan.rank
     x = modes
     for d in range(rank):
@@ -198,47 +200,49 @@ def amplify_pad_dft_tiled(modes: jax.Array, plan, geom,
                           ) -> jax.Array:
     """Type-2 pre-stage producing per-tile extended fine-grid blocks.
 
+    Dual of ``dft_truncate_deconvolve_tiled``: each mode axis is
+    expanded with a wrap-aware [n_d, nt_d, E_d] twiddle tensor, so the
+    amplify weights, zero-pad, DFT, *and* the per-tile halo duplication
+    are all one matmul chain — the full fine grid never materializes.
+    The one relayout left is the final transpose of the contraction
+    output to the kernels' tiles-major layout, which XLA fuses into the
+    last dot's epilogue (measured v5e 3D 256^3: 12.3 ms total vs
+    29.7 ms for the embed + fine-DFT + extend_tiles formulation this
+    replaces).
+
     Args:
         modes: [batch, *grid_shape, 2] planar CMCL modes.
 
     Returns:
-        [*tiles, B2, *ext] float blocks ready for the interp kernel —
-        the windowing/halo duplication is folded into the contraction,
-        so the full fine grid never materializes.
+        [*tiles, B2, *ext] float blocks ready for the interp kernel.
     """
     rank = plan.rank
-    if _ext_duplication(geom) > _FUSED_DUP_MAX:
-        from tensorflow_nufft_tpu.kernels.binning import extend_tiles
-        # Barriers pin each stage's output layout; cross-stage fusion
-        # of pad/roll/slice chains into matmul operands measured ~100x
-        # slower (see dft_truncate_deconvolve_tiled).
-        x = jax.lax.optimization_barrier(
-            _amplify_embed(modes, plan))             # [B, *fine, 2]
-        x = jax.lax.optimization_barrier(
-            dft_planar(x, rank, plan.spec.fft_direction, precision))
-        batch = modes.shape[0]
-        fine = jnp.moveaxis(x, -1, 1).reshape(
-            (2 * batch,) + plan.fine_shape)          # [B2, *fine]
-        return extend_tiles(fine, geom)
     sign = -1.0 if plan.spec.fft_direction == "forward" else 1.0
     batch = modes.shape[0]
     xr, xi = modes[..., 0], modes[..., 1]
-    nt = geom.tiles
-    ext = geom.ext
     for d in range(rank):
         c_np, s_np = _ext_mode_twiddles(
-            plan.fine_shape[d], plan.grid_shape[d], nt[d], geom.tile[d],
-            geom.pad, sign, plan.deconv_weights(d), truncating=False)
-        c = jnp.asarray(c_np, xr.dtype)
-        s = jnp.asarray(s_np, xr.dtype)
-        xr, xi = _contract_planar(xr, xi, c, s, 1 + d, precision)
-    x = jnp.stack([xr, xi], axis=1)          # [B, 2, nt0*E0, ...]
+            plan.fine_shape[d], plan.grid_shape[d], geom.tiles[d],
+            geom.tile[d], geom.pad, sign, plan.deconv_weights(d),
+            truncating=False)              # [n_d, nt_d*E_d]
+        nt, e = geom.tiles[d], geom.ext[d]
+        c = jnp.asarray(c_np.reshape(-1, nt, e), xr.dtype)
+        s = jnp.asarray(s_np.reshape(-1, nt, e), xr.dtype)
+        # Contract the current leading mode axis; its (nt, E) pair
+        # lands at the back, giving [B, nt_0, E_0, .., n_d+1..] order.
+        dn = (((1,), (0,)), ((), ()))
+
+        def dot(a, m):
+            return jax.lax.dot_general(
+                a, m, dn, preferred_element_type=a.dtype,
+                precision=precision)
+
+        ar, br = dot(xr, c), dot(xr, s)
+        ai, bi = dot(xi, c), dot(xi, s)
+        xr, xi = ar - bi, ai + br
+    # [B, nt0, E0, nt1, E1, ..] x2 -> [nt_0.., B2, E_0..]
+    x = jnp.stack([xr, xi], axis=1)
     x = x.reshape((batch * 2,) + x.shape[2:])
-    shape = (x.shape[0],)
-    for d in range(rank):
-        shape += (nt[d], ext[d])
-    x = x.reshape(shape)                     # [B2, nt0, E0, nt1, E1..]
-    # -> [nt_0.., B2, E_0..]
     perm = [1 + 2 * d for d in range(rank)] + [0] + \
         [2 + 2 * d for d in range(rank)]
     return jnp.transpose(x, perm)

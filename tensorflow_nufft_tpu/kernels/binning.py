@@ -137,14 +137,19 @@ def choose_geometry(fine_shape: Sequence[int], width: int,
     vmem_cap = max(256, ((2 << 20) // (4 * sum_ext)) // 256 * 256)
     chunk = min(chunk, vmem_cap)
     if rank == 3:
-        # The rank-3 Khatri-Rao contraction holds ~7 live [E0*E1, C]
-        # f32 copies per channel on the Mosaic kernel stack (calibrated
-        # from v5e scoped-vmem OOM reports; pallas_spread._stack_bytes)
-        # — keep two channels' worth under ~9.5 MB.
-        e0e1 = (tile[0] + 2 * pad) * (tile[1] + 2 * pad)
-        cap3 = max(128, int(9.5e6 // (2 * 7 * 4 * e0e1)) // 128 * 128)
-        chunk = min(chunk, cap3)
+        # The streaming rank-3 kernels fold the Khatri-Rao product in
+        # 128-lane sub-chunks through a VMEM staging ref
+        # (pallas_spread.accumulate_spread_subchunk), so the kernel
+        # stack no longer ties chunk size to E0*E1. 1024 keeps the
+        # NBUF payload buffers plus the staging ref within the
+        # streaming VMEM budget.
+        chunk = min(chunk, 1024)
     chunk = min(chunk, max(64, int(np.ceil(num_points / 64)) * 64))
+    if rank == 3:
+        # Sub-chunk fold: chunk must be a multiple of the 128-lane
+        # sub-chunk (or smaller than one).
+        if chunk > 128:
+            chunk = -(-chunk // 128) * 128
     num_chunks = num_points // chunk + num_tiles
     return TileGeometry(fine_shape, tile, pad, chunk, num_chunks)
 
@@ -366,20 +371,24 @@ def _pack_rows(rows, sentinel_rows: int, binned: BinnedPoints,
     nc = geom.num_chunks
     r = len(rows)
     r_pad = -(-r // 8) * 8
+    m = rows[0].shape[0]
     pads = np.zeros((r, 1), np.float32)
     pads[:sentinel_rows, 0] = SENTINEL
     src = jnp.concatenate(
         [jnp.stack([v.astype(jnp.float32) for v in rows]),
          jnp.asarray(pads)], axis=1)                   # [R, M + 1]
+    if r_pad != r:
+        # Pad rows BEFORE the gather: a full-8-sublane source is the
+        # measured-fast minor-axis gather shape on v5e (partial-sublane
+        # sources gather several times slower), and the padded rows
+        # come out zero — exactly the DMA sublane padding the payload
+        # needs anyway.
+        src = jnp.concatenate(
+            [src, jnp.zeros((r_pad - r, m + 1), jnp.float32)], axis=0)
     # Materialize before gathering (see build_values_payload).
     src = jax.lax.optimization_barrier(src)
-    g = src[:, binned.invpos]                          # [R, NC * chunk]
-    pay = g.reshape(r, nc, chunk).transpose(1, 0, 2)   # [NC, R, chunk]
-    if r_pad != r:
-        pay = jnp.concatenate(
-            [pay, jnp.zeros((nc, r_pad - r, chunk), jnp.float32)],
-            axis=1)
-    return pay
+    g = src[:, binned.invpos]                       # [R8, NC * chunk]
+    return g.reshape(r_pad, nc, chunk).transpose(1, 0, 2)
 
 
 def build_coords_payload(binned: BinnedPoints,
@@ -410,21 +419,23 @@ def build_values_payload(values_cm: jax.Array, binned: BinnedPoints,
     minor-axis offsets.
     """
     b2, m = values_cm.shape
-    nc, chunk = geom.num_chunks, geom.chunk
+    r_pad = -(-b2 // 8) * 8
     src = jnp.concatenate(
         [values_cm.astype(jnp.float32),
          jnp.zeros((b2, 1), jnp.float32)], axis=1)     # [B2, M + 1]
+    if r_pad != b2:
+        # Pad rows BEFORE the gather: full-8-sublane sources gather
+        # several times faster on v5e than partial-sublane ones (the
+        # hardware fetches whole sublane columns either way), and the
+        # padded rows come out zero — the sublane padding the payload
+        # needs anyway (measured 3D 800k: 6.6 ms -> ~2 ms).
+        src = jnp.concatenate(
+            [src, jnp.zeros((r_pad - b2, m + 1), jnp.float32)], axis=0)
     # The barrier materializes the concat: XLA otherwise fuses it INTO
     # the gather, which demotes the gather to a slow per-index path
     # (measured 4.9 ms vs 0.7 ms at M=200k on v5e).
     src = jax.lax.optimization_barrier(src)
-    g = src[:, binned.invpos]
-    r_pad = -(-b2 // 8) * 8
-    if r_pad != b2:
-        g = jnp.concatenate(
-            [g, jnp.zeros((r_pad - b2, nc * chunk), jnp.float32)],
-            axis=0)
-    return g
+    return src[:, binned.invpos]
 
 
 def mats_supported(geom: TileGeometry) -> bool:
@@ -467,8 +478,23 @@ def build_kernel_matrix_payload(binned: BinnedPoints,
 
 def scatter_chunked(values: jax.Array, binned: BinnedPoints
                     ) -> jax.Array:
-    """Padded chunk stream [..., NC*chunk] -> original order [..., M]
-    (pure gather via padpos)."""
+    """Padded chunk stream [R, NC*chunk] -> original order [R, M]
+    (pure gather via padpos).
+
+    Rows are padded to a full 8-sublane gather source and sliced back
+    (see _pack_rows), and the source is barrier-materialized so the
+    upstream transpose/reshape cannot fuse into the gather (which
+    demotes it to the slow per-index path)."""
+    if values.ndim == 2:
+        r = values.shape[0]
+        r_pad = -(-r // 8) * 8
+        if r_pad != r:
+            values = jnp.concatenate(
+                [values,
+                 jnp.zeros((r_pad - r,) + values.shape[1:],
+                           values.dtype)], axis=0)
+        values = jax.lax.optimization_barrier(values)
+        return values[:, binned.padpos][:r]
     return values[..., binned.padpos]
 
 

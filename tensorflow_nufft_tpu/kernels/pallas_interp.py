@@ -80,6 +80,39 @@ def _interp_chunk_values(tile_ref, mats_t, geom: TileGeometry,
         for b in range(batch2)], axis=0)
 
 
+def _interp_chunk_subchunk(tile_ref, mats_t, out_scratch, oslot,
+                           geom: TileGeometry, batch2: int, mref):
+    """Rank-3 chunk values in RANK3_SUB-lane sub-chunks, written
+    directly into ``out_scratch[oslot]``. Dual of
+    pallas_spread.accumulate_spread_subchunk: staging the per-axis
+    matrices in ``mref`` and folding one lane tile per fori_loop step
+    keeps the [E0*E1, *] stack temporaries independent of chunk size."""
+    from tensorflow_nufft_tpu.kernels.pallas_spread import RANK3_SUB
+    e0, e1, e2 = geom.ext
+    mref[0:e0, :] = mats_t[0]
+    mref[e0:e0 + e1, :] = mats_t[1]
+    mref[e0 + e1:, :] = mats_t[2]
+    sub = min(RANK3_SUB, geom.chunk)
+    f2 = [tile_ref[0, 0, 0, b].reshape(e0 * e1, e2)
+          for b in range(batch2)]
+    dn = (((1,), (0,)), ((), ()))
+
+    def body(j, _):
+        js = pl.ds(j * sub, sub)
+        m0 = mref[0:e0, js]
+        m1 = mref[e0:e0 + e1, js]
+        m2 = mref[e0 + e1:, js]
+        w = (m0[:, None, :] * m1[None, :, :]).reshape(e0 * e1, sub)
+        for b in range(batch2):         # static unroll over channels
+            v = jax.lax.dot_general(
+                f2[b], m2, dn, preferred_element_type=jnp.float32,
+                precision=_MXU_PRECISION)                    # [ZY, S]
+            out_scratch[oslot, b, js] = jnp.sum(w * v, axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, geom.chunk // sub, body, 0)
+
+
 def _interp_chunk_values_mats_t(tile_ref, tids, mats_t,
                                 geom: TileGeometry, batch2: int):
     """_interp_chunk_values with dynamic leading tile indices."""
@@ -158,8 +191,9 @@ def _interp_kernel_resident_mats(*refs, geom: TileGeometry, batch2):
 
 def _interp_kernel(bounds_ref, payload_hbm, tile_ref, out_hbm,
                    in_scratch, in_sems, out_scratch, out_sems,
-                   *, geom: TileGeometry, beta, c, half_width, batch2,
-                   horner=None):
+                   *scratch_rest, geom: TileGeometry, beta, c,
+                   half_width, batch2, horner=None):
+    mref = scratch_rest[0] if scratch_rest else None
     t = _linear_tile_id(geom)
     start = bounds_ref[t]
     end = bounds_ref[t + 1]
@@ -198,8 +232,12 @@ def _interp_kernel(bounds_ref, payload_hbm, tile_ref, out_hbm,
         @pl.when(d >= 2)
         def _():
             write_dma(oslot, k - 2).wait()
-        out_scratch[oslot] = _interp_chunk_values(tile_ref, mats, geom,
-                                                  batch2)
+        if mref is not None:
+            _interp_chunk_subchunk(tile_ref, mats, out_scratch, oslot,
+                                   geom, batch2, mref)
+        else:
+            out_scratch[oslot] = _interp_chunk_values(tile_ref, mats,
+                                                      geom, batch2)
         write_dma(oslot, k).start()
         return 0
 
@@ -305,7 +343,10 @@ def _interp_group(tiles, binned, payload, plan: NufftPlan,
             pltpu.SemaphoreType.DMA((NBUF,)),
             pltpu.VMEM((2, batch2, geom.chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ] + (
+            # Rank-3 sub-chunk fold: kernel-matrix staging ref.
+            [pltpu.VMEM((sum(geom.ext), geom.chunk), jnp.float32)]
+            if rank == 3 else []),
     )
     chunk_vals = pl.pallas_call(
         kernel,

@@ -162,6 +162,49 @@ def horner_static(plan: NufftPlan):
     return tuple(float(a) for a in plan.horner)
 
 
+# Lane width of the rank-3 sub-chunk fold (see
+# accumulate_spread_subchunk): one MXU lane tile per fori_loop step.
+RANK3_SUB = 128
+
+
+def accumulate_spread_subchunk(tile_ref, mats_t, v_scratch, slot,
+                               geom: TileGeometry, batch2: int, mref):
+    """Rank-3 chunk accumulation in RANK3_SUB-lane sub-chunks.
+
+    The Khatri-Rao fold's [E0*E1, C] intermediate is the kernel-stack
+    hog: Mosaic keeps ~7 live copies of the largest straight-line
+    matmul operand, which capped rank-3 chunks at 128 points and made
+    the kernel per-chunk-overhead-bound (~7 us/chunk). Staging the
+    per-axis matrices in the ``mref`` VMEM ref and folding RANK3_SUB
+    lanes per fori_loop iteration keeps the live set at
+    [E0*E1, RANK3_SUB] regardless of chunk size, so chunks grow to
+    1024 and the overhead amortizes. The fold itself (and its MXU
+    shape) is unchanged — per-z-plane loops measured 1.2-1.6x slower
+    (latency-bound small matmuls)."""
+    e0, e1, e2 = geom.ext
+    mref[0:e0, :] = mats_t[0]
+    mref[e0:e0 + e1, :] = mats_t[1]
+    mref[e0 + e1:, :] = mats_t[2]
+    sub = min(RANK3_SUB, geom.chunk)
+    dn = (((1,), (1,)), ((), ()))        # contract the shared lane dim
+
+    def body(j, _):
+        js = pl.ds(j * sub, sub)
+        m0 = mref[0:e0, js]
+        m1 = mref[e0:e0 + e1, js]
+        m2 = mref[e0 + e1:, js]
+        w = (m0[:, None, :] * m1[None, :, :]).reshape(e0 * e1, sub)
+        for b in range(batch2):         # static unroll over channels
+            p = m2 * v_scratch[slot, b, js][None, :]         # [Ex, S]
+            contrib = jax.lax.dot_general(
+                w, p, dn, preferred_element_type=jnp.float32,
+                precision=_MXU_PRECISION)                    # [ZY, Ex]
+            tile_ref[0, 0, 0, b] += contrib.reshape(e0, e1, e2)
+        return 0
+
+    jax.lax.fori_loop(0, geom.chunk // sub, body, 0)
+
+
 def accumulate_spread(tile_ref, mats_t, data, geom: TileGeometry,
                       batch2: int, rank_offset: int):
     """Adds one chunk's contribution into the (single-tile) output
@@ -230,6 +273,30 @@ def _scratch_bytes(geom: TileGeometry, batch2: int) -> int:
             + _stack_bytes(geom, batch2))
 
 
+def _stack_bytes_streaming(geom: TileGeometry, batch2: int) -> int:
+    """Kernel-stack model for the per-tile-grid (streaming) kernels.
+    Rank 3 runs the sub-chunk fold (accumulate_spread_subchunk): ~7
+    copies of the shared [E0*E1, RANK3_SUB] fold slice plus per-channel
+    [E0*E1, E2] contribution/tile temporaries; rank <= 2 matches
+    _stack_bytes."""
+    if geom.rank != 3:
+        return _stack_bytes(geom, batch2)
+    e0, e1, e2 = geom.ext
+    sub = min(RANK3_SUB, geom.chunk)
+    return 4 * (7 * e0 * e1 * sub + 3 * batch2 * e0 * e1 * e2)
+
+
+def _scratch_bytes_streaming(geom: TileGeometry, batch2: int) -> int:
+    """_scratch_bytes for the streaming kernels: adds the rank-3
+    [sum(ext), chunk] kernel-matrix staging ref and uses the sub-chunk
+    stack model."""
+    per_chunk = (sum(geom.ext) + 8) * geom.chunk
+    out_stream = 2 * batch2 * geom.chunk
+    mref = sum(geom.ext) * geom.chunk if geom.rank == 3 else 0
+    return (4 * (NBUF * per_chunk + out_stream + mref)
+            + _stack_bytes_streaming(geom, batch2))
+
+
 def resident_fits(geom: TileGeometry, batch2: int) -> bool:
     """Whether the whole [*tiles, B2, *ext] array plus scratch + stack
     fits the VMEM budget (the single-program kernel needs the tile
@@ -258,7 +325,8 @@ def streaming_group_size(geom: TileGeometry) -> int:
     g = MAX_CHANNELS
     while g > 2:
         block = g * int(np.prod(geom.ext)) * 4
-        if block + _scratch_bytes(geom, g) <= VMEM_RESIDENT_BUDGET:
+        if block + _scratch_bytes_streaming(geom, g) <= \
+                VMEM_RESIDENT_BUDGET:
             return g
         g -= 2
     return 2
@@ -409,9 +477,10 @@ def _spread_kernel_resident(*refs, geom: TileGeometry, beta, c,
 
 
 def _spread_kernel(bounds_ref, coords_hbm, values_hbm, tile_ref,
-                   c_scratch, v_scratch, sems,
-                   *, geom: TileGeometry, beta, c, half_width, batch2,
+                   c_scratch, v_scratch, sems, *scratch_rest,
+                   geom: TileGeometry, beta, c, half_width, batch2,
                    horner=None):
+    mref = scratch_rest[0] if scratch_rest else None
     t = _linear_tile_id(geom)
     start = bounds_ref[t]
     end = bounds_ref[t + 1]
@@ -452,8 +521,12 @@ def _spread_kernel(bounds_ref, coords_hbm, values_hbm, tile_ref,
             dma.wait()
         mats = kernel_matrices_from(c_scratch[slot], origins, geom,
                                     beta, c, half_width, horner)
-        accumulate_spread(tile_ref, mats, v_scratch[slot], geom,
-                          batch2, 0)
+        if mref is not None:
+            accumulate_spread_subchunk(tile_ref, mats, v_scratch, slot,
+                                       geom, batch2, mref)
+        else:
+            accumulate_spread(tile_ref, mats, v_scratch[slot], geom,
+                              batch2, 0)
         return 0
 
     jax.lax.fori_loop(start, end, body, 0)
@@ -571,7 +644,10 @@ def _spread_group(strengths_cm, binned, coords_pl, geom: TileGeometry,
             (1,) * rank + (batch2,) + geom.ext,
             lambda *ids: tuple(ids[:len(geom.tiles)]) + (0,) * (rank + 1),
             memory_space=pltpu.VMEM),
-        scratch_shapes=payload_scratch,
+        scratch_shapes=payload_scratch + (
+            # Rank-3 sub-chunk fold: kernel-matrix staging ref.
+            [pltpu.VMEM((sum(geom.ext), geom.chunk), jnp.float32)]
+            if rank == 3 else []),
     )
     tiles = pl.pallas_call(
         kernel,

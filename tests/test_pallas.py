@@ -131,6 +131,37 @@ def test_pallas_batched(rng, batch, transform_type):
     assert _relerr(b, a) < 1e-4
 
 
+@pytest.mark.parametrize("transform_type", ["type_1", "type_2"])
+def test_pallas_streaming_rank3_subchunk(rng, monkeypatch,
+                                         transform_type):
+    """The rank-3 streaming kernels' sub-chunk fold (chunk > 128 lanes
+    folded through the VMEM staging ref) matches XLA. Forces the
+    per-tile-grid path (resident budget 0) and a 2-sub-chunk geometry."""
+    from tensorflow_nufft_tpu.kernels import binning, pallas_spread
+    monkeypatch.setattr(pallas_spread, "VMEM_RESIDENT_BUDGET", 0)
+    binning.set_geometry_overrides(chunk=256)
+    try:
+        grid_shape = (16, 16, 16)
+        m = 700
+        pts = _adversarial_points(rng, m, 3)
+        if transform_type == "type_1":
+            src = to_planar(random_complex(rng, (m,), np.complex64))
+            kw = dict(grid_shape=grid_shape, transform_type="type_1")
+        else:
+            src = to_planar(random_complex(rng, grid_shape,
+                                           np.complex64))
+            kw = dict(transform_type="type_2")
+        kw["tol"] = 1e-5
+        a = tfft.planar.nufft(src, pts,
+                              options=tfft.Options(backend="xla"), **kw)
+        b = tfft.planar.nufft(src, pts,
+                              options=tfft.Options(backend="pallas"),
+                              **kw)
+        assert _relerr(b, a) < 1e-4
+    finally:
+        binning.set_geometry_overrides()
+
+
 def test_forced_pallas_rejects_f64():
     """backend='pallas' must error on f64/complex128 configs rather than
     silently casting to float32 (advisor finding)."""
