@@ -113,6 +113,33 @@ def _interp_chunk_subchunk(tile_ref, mats_t, out_scratch, oslot,
     jax.lax.fori_loop(0, geom.chunk // sub, body, 0)
 
 
+def _interp_chunk_subchunk_refs(tile_ref, m_scratch, slot, out_scratch,
+                                oslot, geom: TileGeometry, batch2: int):
+    """_interp_chunk_subchunk reading the per-axis matrices straight
+    from the streamed [NBUF, E_d, C] scratch refs (mats variant)."""
+    from tensorflow_nufft_tpu.kernels.pallas_spread import RANK3_SUB
+    e0, e1, e2 = geom.ext
+    sub = min(RANK3_SUB, geom.chunk)
+    f2 = [tile_ref[0, 0, 0, b].reshape(e0 * e1, e2)
+          for b in range(batch2)]
+    dn = (((1,), (0,)), ((), ()))
+
+    def body(j, _):
+        js = pl.ds(j * sub, sub)
+        m0 = m_scratch[0][slot, :, js]
+        m1 = m_scratch[1][slot, :, js]
+        m2 = m_scratch[2][slot, :, js]
+        w = (m0[:, None, :] * m1[None, :, :]).reshape(e0 * e1, sub)
+        for b in range(batch2):         # static unroll over channels
+            v = jax.lax.dot_general(
+                f2[b], m2, dn, preferred_element_type=jnp.float32,
+                precision=_MXU_PRECISION)                    # [ZY, S]
+            out_scratch[oslot, b, js] = jnp.sum(w * v, axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, geom.chunk // sub, body, 0)
+
+
 def _interp_chunk_values_mats_t(tile_ref, tids, mats_t,
                                 geom: TileGeometry, batch2: int):
     """_interp_chunk_values with dynamic leading tile indices."""
@@ -252,6 +279,79 @@ def _interp_kernel(bounds_ref, payload_hbm, tile_ref, out_hbm,
                       last).wait()
 
 
+def _interp_kernel_mats(*refs, geom: TileGeometry, batch2):
+    """Per-tile-grid interp streaming precomputed kernel matrices
+    (dual of pallas_spread._spread_kernel_mats): per-chunk [E_d, C]
+    matrix DMA in, double-buffered [B2, C] value DMA out."""
+    rank = geom.rank
+    bounds_ref = refs[0]
+    mats_hbm = refs[1:1 + rank]
+    tile_ref = refs[1 + rank]
+    out_hbm = refs[2 + rank]
+    m_scratch = refs[3 + rank:3 + 2 * rank]
+    in_sems = refs[3 + 2 * rank]
+    out_scratch = refs[4 + 2 * rank]
+    out_sems = refs[5 + 2 * rank]
+    t = _linear_tile_id(geom)
+    start = bounds_ref[t]
+    end = bounds_ref[t + 1]
+
+    def chunk_dmas(slot, k):
+        return [
+            pltpu.make_async_copy(mats_hbm[d].at[k],
+                                  m_scratch[d].at[slot],
+                                  in_sems.at[slot, d])
+            for d in range(rank)]
+
+    def write_dma(slot, k):
+        return pltpu.make_async_copy(
+            out_scratch.at[slot], out_hbm.at[k], out_sems.at[slot])
+
+    for j in range(NBUF - 1):
+        @pl.when(start + j < end)
+        def _(j=j):
+            for dma in chunk_dmas(j, start + j):
+                dma.start()
+
+    def body(k, _):
+        d = k - start
+        slot = jax.lax.rem(d, jnp.asarray(NBUF, d.dtype))
+        oslot = jax.lax.rem(d, jnp.asarray(2, d.dtype))
+
+        @pl.when(k + NBUF - 1 < end)
+        def _():
+            nslot = jax.lax.rem(d + NBUF - 1, jnp.asarray(NBUF, d.dtype))
+            for dma in chunk_dmas(nslot, k + NBUF - 1):
+                dma.start()
+
+        for dma in chunk_dmas(slot, k):
+            dma.wait()
+
+        @pl.when(d >= 2)
+        def _():
+            write_dma(oslot, k - 2).wait()
+        if rank == 3:
+            _interp_chunk_subchunk_refs(tile_ref, m_scratch, slot,
+                                        out_scratch, oslot, geom,
+                                        batch2)
+        else:
+            mats_t = [m_scratch[dd][slot] for dd in range(rank)]
+            out_scratch[oslot] = _interp_chunk_values(tile_ref, mats_t,
+                                                      geom, batch2)
+        write_dma(oslot, k).start()
+        return 0
+
+    jax.lax.fori_loop(start, end, body, 0)
+
+    for j in range(2):
+        @pl.when(start + j < end)
+        def _(j=j):
+            last = end - 1 - j
+            write_dma(jax.lax.rem(last - start,
+                                  jnp.asarray(2, last.dtype)),
+                      last).wait()
+
+
 def interp_pallas_tiled(tiles: jax.Array, points_resc,
                         plan: NufftPlan, geom: TileGeometry,
                         binned=None, mats=None,
@@ -269,13 +369,13 @@ def interp_pallas_tiled(tiles: jax.Array, points_resc,
         binned = bin_points(points_resc, geom)
     group = streaming_group_size(geom)
     if mats is not None:
-        group = resident_group_size(geom)
+        # Prefer the resident single-program kernel where the tile
+        # array fits; larger problems stream mats through the per-tile
+        # grid kernel (_interp_kernel_mats).
+        group = resident_group_size(geom) or group
     payload = coords
-    if mats is None or group == 0:
-        if payload is None:
-            payload = build_coords_payload(binned, geom)
-        if group == 0:
-            mats, group = None, streaming_group_size(geom)
+    if mats is None and payload is None:
+        payload = build_coords_payload(binned, geom)
     if batch2 > group:
         groups = []
         for i in range(0, batch2, group):
@@ -316,6 +416,40 @@ def _interp_group(tiles, binned, payload, plan: NufftPlan,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
         )(binned.tile_bounds, *binned.chunk_tidx, *mats,
           tiles.astype(jnp.float32))
+        flat = chunk_vals.transpose(1, 0, 2).reshape(
+            batch2, geom.num_chunks * geom.chunk)
+        return scatter_chunked(flat, binned)
+
+    if mats is not None:
+        # Tile array too big for residence: per-tile grid kernel
+        # streaming the precomputed matrices (the planned 3D path).
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=geom.tiles,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * rank + [
+                pl.BlockSpec(                            # tile block
+                    (1,) * rank + (batch2,) + geom.ext,
+                    lambda *ids: tuple(ids[:len(geom.tiles)])
+                    + (0,) * (rank + 1),
+                    memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=(
+                [pltpu.VMEM((NBUF, geom.ext[d], geom.chunk),
+                            jnp.float32) for d in range(rank)]
+                + [pltpu.SemaphoreType.DMA((NBUF, rank)),
+                   pltpu.VMEM((2, batch2, geom.chunk), jnp.float32),
+                   pltpu.SemaphoreType.DMA((2,))]),
+        )
+        chunk_vals = pl.pallas_call(
+            functools.partial(_interp_kernel_mats, geom=geom,
+                              batch2=batch2),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (geom.num_chunks, batch2, geom.chunk), jnp.float32),
+            interpret=use_interpret(),
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(binned.tile_bounds, *mats, tiles.astype(jnp.float32))
         flat = chunk_vals.transpose(1, 0, 2).reshape(
             batch2, geom.num_chunks * geom.chunk)
         return scatter_chunked(flat, binned)

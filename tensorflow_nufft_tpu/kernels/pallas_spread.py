@@ -205,6 +205,33 @@ def accumulate_spread_subchunk(tile_ref, mats_t, v_scratch, slot,
     jax.lax.fori_loop(0, geom.chunk // sub, body, 0)
 
 
+def accumulate_spread_subchunk_refs(tile_ref, m_scratch, slot,
+                                    v_scratch, geom: TileGeometry,
+                                    batch2: int):
+    """accumulate_spread_subchunk reading the per-axis matrices straight
+    from the streamed [NBUF, E_d, C] scratch refs (mats variant — no
+    staging copy needed)."""
+    e0, e1, e2 = geom.ext
+    sub = min(RANK3_SUB, geom.chunk)
+    dn = (((1,), (1,)), ((), ()))
+
+    def body(j, _):
+        js = pl.ds(j * sub, sub)
+        m0 = m_scratch[0][slot, :, js]
+        m1 = m_scratch[1][slot, :, js]
+        m2 = m_scratch[2][slot, :, js]
+        w = (m0[:, None, :] * m1[None, :, :]).reshape(e0 * e1, sub)
+        for b in range(batch2):         # static unroll over channels
+            p = m2 * v_scratch[slot, b, js][None, :]         # [Ex, S]
+            contrib = jax.lax.dot_general(
+                w, p, dn, preferred_element_type=jnp.float32,
+                precision=_MXU_PRECISION)                    # [ZY, Ex]
+            tile_ref[0, 0, 0, b] += contrib.reshape(e0, e1, e2)
+        return 0
+
+    jax.lax.fori_loop(0, geom.chunk // sub, body, 0)
+
+
 def accumulate_spread(tile_ref, mats_t, data, geom: TileGeometry,
                       batch2: int, rank_offset: int):
     """Adds one chunk's contribution into the (single-tile) output
@@ -344,7 +371,11 @@ def accumulate_spread_at(out_ref, tids, mats_t, data,
 
 # HBM budget for precomputed kernel-matrix payloads (build_kernel_
 # matrix_payload): beyond this, fall back to in-kernel evaluation.
-MATS_BYTES_BUDGET = 512 * 2 ** 20
+# Sized for HBM but ALSO bounded by the remote-compile relay: planned
+# payloads are closed-over device arrays, which JAX inlines as MLIR
+# literals, so they ship in the compile request body — a ~211 MB 2D
+# payload compiles, a 508 MB 3D one gets HTTP 413 (body length limit).
+MATS_BYTES_BUDGET = 256 * 2 ** 20
 
 
 def mats_payload_bytes(geom: TileGeometry) -> int:
@@ -532,6 +563,73 @@ def _spread_kernel(bounds_ref, coords_hbm, values_hbm, tile_ref,
     jax.lax.fori_loop(start, end, body, 0)
 
 
+def _spread_kernel_mats(*refs, geom: TileGeometry, batch2):
+    """Per-tile-grid spread streaming precomputed kernel matrices.
+
+    ``_spread_kernel`` with the in-kernel VPU polynomial evaluation
+    replaced by per-chunk [E_d, C] matrix DMA — the planned path hoists
+    the evaluation into build_kernel_matrix_payload, turning this
+    kernel into a pure DMA + MXU stream (the eval costs ~2 us/chunk and
+    dominates the 3D kernel at thousands of chunks)."""
+    rank = geom.rank
+    bounds_ref = refs[0]
+    mats_hbm = refs[1:1 + rank]
+    values_hbm = refs[1 + rank]
+    tile_ref = refs[2 + rank]
+    m_scratch = refs[3 + rank:3 + 2 * rank]
+    v_scratch = refs[3 + 2 * rank]
+    sems = refs[4 + 2 * rank]
+    t = _linear_tile_id(geom)
+    start = bounds_ref[t]
+    end = bounds_ref[t + 1]
+
+    tile_ref[...] = jnp.zeros_like(tile_ref)
+
+    def chunk_dmas(slot, k):
+        dmas = [
+            pltpu.make_async_copy(mats_hbm[d].at[k],
+                                  m_scratch[d].at[slot],
+                                  sems.at[slot, d])
+            for d in range(rank)]
+        dmas.append(
+            pltpu.make_async_copy(
+                # Clamp: prefetch preamble probes k past the last chunk
+                # (execution is pl.when-guarded).
+                values_hbm.at[:, pl.ds(jnp.minimum(
+                    k, geom.num_chunks - 1) * geom.chunk, geom.chunk)],
+                v_scratch.at[slot], sems.at[slot, rank]))
+        return dmas
+
+    for j in range(NBUF - 1):
+        @pl.when(start + j < end)
+        def _(j=j):
+            for dma in chunk_dmas(j, start + j):
+                dma.start()
+
+    def body(k, _):
+        d = k - start
+        slot = jax.lax.rem(d, jnp.asarray(NBUF, d.dtype))
+
+        @pl.when(k + NBUF - 1 < end)
+        def _():
+            nslot = jax.lax.rem(d + NBUF - 1, jnp.asarray(NBUF, d.dtype))
+            for dma in chunk_dmas(nslot, k + NBUF - 1):
+                dma.start()
+
+        for dma in chunk_dmas(slot, k):
+            dma.wait()
+        if rank == 3:
+            accumulate_spread_subchunk_refs(tile_ref, m_scratch, slot,
+                                            v_scratch, geom, batch2)
+        else:
+            mats_t = [m_scratch[dd][slot] for dd in range(rank)]
+            accumulate_spread(tile_ref, mats_t, v_scratch[slot], geom,
+                              batch2, 0)
+        return 0
+
+    jax.lax.fori_loop(start, end, body, 0)
+
+
 def spread_pallas_tiles(strengths_cm: jax.Array, points_resc,
                         plan: NufftPlan, binned=None, mats=None,
                         coords=None):
@@ -552,13 +650,13 @@ def spread_pallas_tiles(strengths_cm: jax.Array, points_resc,
         binned = bin_points(points_resc, geom)
     group = streaming_group_size(geom)
     if mats is not None:
-        group = resident_group_size(geom)
+        # Prefer the resident single-program kernel where the tile
+        # array fits; larger problems stream mats through the per-tile
+        # grid kernel (_spread_kernel_mats).
+        group = resident_group_size(geom) or group
     coords_pl = coords
-    if mats is None or group == 0:
-        if coords_pl is None:
-            coords_pl = build_coords_payload(binned, geom)
-        if group == 0:
-            mats, group = None, streaming_group_size(geom)
+    if mats is None and coords_pl is None:
+        coords_pl = build_coords_payload(binned, geom)
 
     if batch2 > group:
         groups = []
@@ -609,6 +707,34 @@ def _spread_group(strengths_cm, binned, coords_pl, geom: TileGeometry,
             out_shape=out_shape,
             interpret=use_interpret(),
         )(binned.tile_bounds, *binned.chunk_tidx, *mats, values_pl)
+        return tiles, geom
+
+    if mats is not None:
+        # Tile array too big for residence: per-tile grid kernel
+        # streaming the precomputed matrices (the planned 3D path).
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,               # tile chunk bounds
+            grid=geom.tiles,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (rank + 1),
+            out_specs=pl.BlockSpec(
+                (1,) * rank + (batch2,) + geom.ext,
+                lambda *ids: tuple(ids[:len(geom.tiles)])
+                + (0,) * (rank + 1),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=(
+                [pltpu.VMEM((NBUF, geom.ext[d], geom.chunk),
+                            jnp.float32) for d in range(rank)]
+                + [pltpu.VMEM((NBUF, values_pl.shape[0], geom.chunk),
+                              jnp.float32),
+                   pltpu.SemaphoreType.DMA((NBUF, rank + 1))]),
+        )
+        tiles = pl.pallas_call(
+            functools.partial(_spread_kernel_mats, geom=geom,
+                              batch2=batch2),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=use_interpret(),
+        )(binned.tile_bounds, *mats, values_pl)
         return tiles, geom
 
     payload_scratch = [

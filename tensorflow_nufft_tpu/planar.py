@@ -381,12 +381,18 @@ class PlannedNufft:
         if dispatch.pallas_active(self.plan, points.dtype,
                                   points.shape[0]):
             from tensorflow_nufft_tpu.kernels.pallas_spread import (
-                resident_group_size)
+                MATS_BYTES_BUDGET, mats_payload_bytes)
             geom = binning.choose_geometry(
                 self.plan.fine_shape, self.plan.width,
                 int(points.shape[0]))
+            # mats level: precomputed [E_d, C] kernel matrices, served
+            # by the resident kernels where the tile array fits and by
+            # the per-tile-grid mats-streaming kernels otherwise; falls
+            # back to coords streaming when the matrix payload would
+            # exceed its HBM budget.
             self._level = ("mats" if (binning.mats_supported(geom)
-                                      and resident_group_size(geom) >= 2)
+                                      and mats_payload_bytes(geom)
+                                      <= MATS_BYTES_BUDGET)
                            else "binned")
         self._planned = self._level != "none"
         if not self._planned:

@@ -229,6 +229,36 @@ class TestPlannedNufft:
         np.testing.assert_allclose(g1, g2, rtol=1e-3,
                                    atol=1e-3 * np.abs(g2).max())
 
+    @pytest.mark.parametrize("rank", [2, 3])
+    @pytest.mark.parametrize("transform_type", ["type_1", "type_2"])
+    def test_mats_streaming_grid_kernels(self, rng, monkeypatch, rank,
+                                         transform_type):
+        """Planned 'mats' level served by the per-tile-grid
+        mats-streaming kernels (tile array forced non-resident):
+        matches the unplanned op for ranks 2 and 3."""
+        from tensorflow_nufft_tpu.kernels import pallas_spread
+        monkeypatch.setattr(pallas_spread, "VMEM_RESIDENT_BUDGET", 0)
+        grid = (16, 16) if rank == 2 else (16, 16, 16)
+        m = 500
+        pts = random_points(rng, (m, rank), np.float32)
+        if transform_type == "type_1":
+            src = rng.standard_normal((2, m, 2)).astype(np.float32)
+            kw = {}
+        else:
+            src = rng.standard_normal((2,) + grid + (2,)).astype(
+                np.float32)
+            kw = {}
+        opts = tfft.Options(backend="pallas")
+        op = tfft.planar.PlannedNufft(
+            pts, grid, transform_type=transform_type, options=opts)
+        assert op._level == "mats"
+        got = np.asarray(op(src))
+        ref = np.asarray(tfft.planar.nufft(
+            src, pts, grid_shape=grid, transform_type=transform_type,
+            **kw))
+        np.testing.assert_allclose(got, ref, rtol=1e-4,
+                                   atol=1e-4 * np.abs(ref).max())
+
     def test_fallback_off_pallas(self, rng):
         grid, pts, src = self._setup("type_2", rng)
         op = tfft.planar.PlannedNufft(pts, grid, transform_type="type_2")

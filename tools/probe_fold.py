@@ -67,6 +67,36 @@ def pairdot_t1(x, batch=1):
     return jnp.stack([xr, xi], axis=-1)
 
 
+def pairdot_gauss(x, batch=1):
+    """3-matmul complex contraction: t1=(xr+xi)c, t2=xr(s-c),
+    t3=xi(s+c); yr=t1-t3, yi=t1+t2."""
+    sign = -1.0
+    xs = x.reshape(geom.tiles + (batch, 2) + geom.ext)
+    xr = xs[..., 0, :, :, :]
+    xi = xs[..., 1, :, :, :]
+    for d in range(rank):
+        c_np, s_np = _ext_mode_twiddles(
+            plan.fine_shape[d], plan.grid_shape[d], geom.tiles[d],
+            geom.tile[d], geom.pad, sign, plan.deconv_weights(d),
+            truncating=True)
+        nt, e = geom.tiles[d], geom.ext[d]
+        c = jnp.asarray(c_np.reshape(nt, e, -1), jnp.float32)
+        smc = jnp.asarray((s_np - c_np).reshape(nt, e, -1), jnp.float32)
+        spc = jnp.asarray((s_np + c_np).reshape(nt, e, -1), jnp.float32)
+        ext_pos = (rank - d) + 1
+        dn = (((0, ext_pos), (0, 1)), ((), ()))
+
+        def dot(a, m):
+            return jax.lax.dot_general(
+                a, m, dn, preferred_element_type=jnp.float32,
+                precision=PREC)
+        t1 = dot(xr + xi, c)
+        t2 = dot(xr, smc)
+        t3 = dot(xi, spc)
+        xr, xi = t1 - t3, t1 + t2
+    return jnp.stack([xr, xi], axis=-1)
+
+
 def current_t1(x):
     return dft_truncate_deconvolve_tiled(x, plan, geom, 1)
 
@@ -103,5 +133,14 @@ def marginal(stage_fn, label, x):
     log(f"{label:30s}: {per * 1e3:9.3f} ms")
 
 
-marginal(pairdot_t1, "pairdot t1 post-stage", tiles)
-marginal(current_t1, "current t1 post-stage", tiles)
+import sys as _sys                                       # noqa: E402
+_stages = _sys.argv[1:] or ["pairdot", "gauss", "current"]
+if "gauss" in _stages:
+    g = np.asarray(jax.jit(pairdot_gauss)(tiles))
+    log(f"rel err gauss vs current: "
+        f"{np.max(np.abs(a - g)) / np.max(np.abs(a)):.3e}")
+    marginal(pairdot_gauss, "gauss 3-mult pairdot", tiles)
+if "pairdot" in _stages:
+    marginal(pairdot_t1, "pairdot t1 post-stage", tiles)
+if "current" in _stages:
+    marginal(current_t1, "current t1 post-stage", tiles)
