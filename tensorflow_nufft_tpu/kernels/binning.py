@@ -71,23 +71,34 @@ _TILE_PREFS = {
     # tile=64 beating 128 by ~40% on the spread kernel (smaller matmuls,
     # same lane footprint).
     2: (64, 96, 128, 160, 192, 256, 320, 32, 16),
-    3: (32, 40, 48, 64, 24, 16, 80, 96, 128, 8, 10, 12),
 }
-# Leading (sublane-ish) axis of 3D tiles can be small (multiples of 8
-# so extended dims stay sublane-aligned).
-_TILE_PREFS_3D_LEAD = (8, 16, 24, 32, 40, 64, 48, 96, 128)
+# Rank-3 prefs are per axis POSITION: the last (lane) axis wants
+# E = tile + 2*pad near the 128-lane width (lane utilization of the
+# contribution matmuls — E=40 uses 31% of the output lanes, E=72 56%),
+# while the leading two want small E (the Khatri-Rao fold's MXU rows
+# scale as E0*E1/8). Measured on v5e 128^3/800k: (16,16,64) runs the
+# spread 25% and the tiled mode-DFT 60% faster than the old
+# smallest-volume-first choice (8,32,32).
+_TILE_PREFS_3D = (
+    (16, 8, 24, 32, 40, 64, 48, 96, 128),     # leading axis
+    (16, 24, 32, 40, 8, 64, 48, 96, 128),     # middle axis
+    (64, 48, 96, 80, 40, 32, 128, 24, 16),    # last (lane) axis
+)
 
 
 # Process-wide tuning overrides (benchmarking/experiments). Keys:
-# 'chunk', 'tile_pref'. Values of 0 mean auto.
-_GEOMETRY_OVERRIDES = {"chunk": 0, "tile_pref": 0}
+# 'chunk', 'tile_pref' (single preferred tile for every axis), 'tile'
+# (full per-axis tile tuple). Values of 0/None mean auto.
+_GEOMETRY_OVERRIDES = {"chunk": 0, "tile_pref": 0, "tile": None}
 
 
-def set_geometry_overrides(chunk: int = 0, tile_pref: int = 0) -> None:
-    """Overrides automatic chunk/tile selection (0 = auto). Affects
-    subsequent traces only."""
+def set_geometry_overrides(chunk: int = 0, tile_pref: int = 0,
+                           tile=None) -> None:
+    """Overrides automatic chunk/tile selection (0/None = auto).
+    Affects subsequent traces only."""
     _GEOMETRY_OVERRIDES["chunk"] = chunk
     _GEOMETRY_OVERRIDES["tile_pref"] = tile_pref
+    _GEOMETRY_OVERRIDES["tile"] = tile
 
 
 def choose_geometry(fine_shape: Sequence[int], width: int,
@@ -112,20 +123,31 @@ def choose_geometry(fine_shape: Sequence[int], width: int,
     # so extended dims stay sublane-aligned (E = tile + 2*pad with tiles
     # chosen as multiples of 8): DMA slices need 8-sublane alignment.
     pad = -(-(width // 2 + 1) // 4) * 4
-    tile = []
-    for d, nf in enumerate(fine_shape):
-        if rank == 3 and d == 0:
-            prefs = _TILE_PREFS_3D_LEAD
-        else:
-            prefs = _TILE_PREFS[rank]
-        prefs = ((tile_pref,) if tile_pref else ()) + prefs
-        t = nf
-        for cand in prefs:
-            if cand and nf % cand == 0 and cand >= 2 * pad:
-                t = cand
-                break
-        tile.append(t)
-    tile = tuple(tile)
+    tile_override = _GEOMETRY_OVERRIDES["tile"]
+    if tile_override is not None:
+        tile = tuple(int(t) for t in tile_override)
+        if len(tile) != rank or any(
+                nf % t or t < 2 * pad
+                for nf, t in zip(fine_shape, tile)):
+            raise ValueError(
+                f"tile override {tile} invalid for fine shape "
+                f"{fine_shape} (must divide each dim and be >= "
+                f"{2 * pad})")
+    else:
+        tile = []
+        for d, nf in enumerate(fine_shape):
+            if rank == 3:
+                prefs = _TILE_PREFS_3D[d]
+            else:
+                prefs = _TILE_PREFS[rank]
+            prefs = ((tile_pref,) if tile_pref else ()) + prefs
+            t = nf
+            for cand in prefs:
+                if cand and nf % cand == 0 and cand >= 2 * pad:
+                    t = cand
+                    break
+            tile.append(t)
+        tile = tuple(tile)
     num_tiles = int(np.prod([nf // t for nf, t in zip(fine_shape, tile)]))
     if chunk == 0:
         # Aim for ~25% padding waste worst-case, in [256, 2048].
@@ -438,6 +460,56 @@ def build_values_payload(values_cm: jax.Array, binned: BinnedPoints,
     return src[:, binned.invpos]
 
 
+def combined_rows(rank: int, b2: int) -> int:
+    """Row count of the combined coords+values payload."""
+    return 2 * rank + b2
+
+
+def combined_fits(rank: int, b2: int) -> bool:
+    """Whether the combined payload stays within one 8-sublane block —
+    the regime where it costs exactly as much to gather as the values
+    payload alone (whose pad rows were zeros) while halving the spread
+    kernel's per-chunk DMA count. Beyond 8 rows the split layout wins
+    on gather traffic (the coords block is static and shared across
+    channel groups)."""
+    return combined_rows(rank, b2) <= 8
+
+
+def build_combined_payload(values_cm: jax.Array, binned: BinnedPoints,
+                           geom: TileGeometry) -> jax.Array:
+    """[R8, NC * chunk] FLAT payload carrying coordinates AND values:
+    rows 0..rank-1 hi words, rank..2rank-1 lo words, then the B2 value
+    channels; zero rows pad to a multiple of 8 (DMA sublane alignment).
+
+    One minor-axis gather through ``invpos`` moves everything the
+    spread kernel needs, so the kernel issues ONE per-chunk DMA instead
+    of separate coords and values copies. For 2*rank + B2 <= 8 (any
+    single complex transform, rank 1-3) the gather fetches the same
+    8-sublane columns the values-only gather already fetched — the
+    coordinate rows ride for free. Padded slots read SENTINEL in the hi
+    rows (kernel weights exactly zero) and zero elsewhere.
+    """
+    b2, m = values_cm.shape
+    rank = geom.rank
+    r = combined_rows(rank, b2)
+    r_pad = -(-r // 8) * 8
+    src = jnp.concatenate(
+        [jnp.swapaxes(binned.points_hi, 0, 1).astype(jnp.float32),
+         jnp.swapaxes(binned.points_lo, 0, 1).astype(jnp.float32),
+         values_cm.astype(jnp.float32)], axis=0)       # [R, M]
+    pads = np.zeros((r, 1), np.float32)
+    pads[:rank, 0] = SENTINEL
+    src = jnp.concatenate([src, jnp.asarray(pads)], axis=1)
+    if r_pad != r:
+        src = jnp.concatenate(
+            [src, jnp.zeros((r_pad - r, m + 1), jnp.float32)], axis=0)
+    # The barrier materializes the concat: XLA otherwise fuses it INTO
+    # the gather, demoting it to a slow per-index path (see
+    # build_values_payload).
+    src = jax.lax.optimization_barrier(src)
+    return src[:, binned.invpos]
+
+
 def mats_supported(geom: TileGeometry) -> bool:
     """Whether the precomputed-matrix payload layout is valid: extended
     dims must be 8-sublane aligned for the [E, C] chunk DMAs."""
@@ -446,14 +518,17 @@ def mats_supported(geom: TileGeometry) -> bool:
 
 def build_kernel_matrix_payload(binned: BinnedPoints,
                                 geom: TileGeometry, plan):
-    """Precomputed per-chunk ES kernel matrices, one per axis.
+    """Precomputed per-chunk ES kernel matrices, all axes concatenated.
 
-    Returns a tuple of [NC, E_d, C] float32 arrays with
-    ``mats[d][k, e, c] = phi(e + origin_d(k) - s_c^d)``. The [E, C]
-    orientation makes the per-chunk DMA slice both sublane- (E % 8 == 0,
-    see choose_geometry) and lane-aligned (C % 128 == 0) with no pad
-    bytes, and lets the strengths enter the accumulation matmuls as
-    lane-vector broadcasts (no per-chunk transposes).
+    Returns ONE [NC, sum(E_d), C] float32 array; axis d's matrix
+    occupies rows [sum(E_<d), sum(E_<=d)) of each chunk slice, with
+    ``mats[k, off_d + e, c] = phi(e + origin_d(k) - s_c^d)``. The
+    [E, C] orientation makes the per-chunk DMA slice both sublane-
+    (E % 8 == 0, see choose_geometry) and lane-aligned (C % 128 == 0)
+    with no pad bytes, and the concatenation means the kernels fetch
+    all axes with ONE per-chunk DMA (separate per-axis copies cost
+    ~rank x the DMA issue overhead, which dominates at 3D chunk
+    counts).
 
     The matrices depend only on the points (not the strengths), so a
     planned transform computes them once — turning the Pallas
@@ -473,7 +548,7 @@ def build_kernel_matrix_payload(binned: BinnedPoints,
         e = jnp.arange(geom.ext[d], dtype=jnp.float32)
         z = (e[None, :, None] - s_hi[:, None, :]) - s_lo[:, None, :]
         mats.append(es_kernel_for(z, plan))
-    return tuple(mats)
+    return jnp.concatenate(mats, axis=1)
 
 
 def scatter_chunked(values: jax.Array, binned: BinnedPoints

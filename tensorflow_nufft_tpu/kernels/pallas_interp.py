@@ -116,7 +116,8 @@ def _interp_chunk_subchunk(tile_ref, mats_t, out_scratch, oslot,
 def _interp_chunk_subchunk_refs(tile_ref, m_scratch, slot, out_scratch,
                                 oslot, geom: TileGeometry, batch2: int):
     """_interp_chunk_subchunk reading the per-axis matrices straight
-    from the streamed [NBUF, E_d, C] scratch refs (mats variant)."""
+    from the streamed [NBUF, sum(E_d), C] concatenated scratch ref
+    (mats variant)."""
     from tensorflow_nufft_tpu.kernels.pallas_spread import RANK3_SUB
     e0, e1, e2 = geom.ext
     sub = min(RANK3_SUB, geom.chunk)
@@ -126,9 +127,9 @@ def _interp_chunk_subchunk_refs(tile_ref, m_scratch, slot, out_scratch,
 
     def body(j, _):
         js = pl.ds(j * sub, sub)
-        m0 = m_scratch[0][slot, :, js]
-        m1 = m_scratch[1][slot, :, js]
-        m2 = m_scratch[2][slot, :, js]
+        m0 = m_scratch[slot, 0:e0, js]
+        m1 = m_scratch[slot, e0:e0 + e1, js]
+        m2 = m_scratch[slot, e0 + e1:, js]
         w = (m0[:, None, :] * m1[None, :, :]).reshape(e0 * e1, sub)
         for b in range(batch2):         # static unroll over channels
             v = jax.lax.dot_general(
@@ -152,26 +153,25 @@ def _interp_kernel_resident_mats(*refs, geom: TileGeometry, batch2):
     """Resident interp consuming precomputed kernel matrices.
 
     The whole windowed tile array stays in VMEM; one global chunk
-    stream of precomputed [C, E_d] matrices (pure DMA + MXU — see
+    stream of precomputed concatenated [sum(E_d), C] matrix slices —
+    ONE DMA per chunk (pure DMA + MXU — see
     _spread_kernel_resident_mats)."""
+    from tensorflow_nufft_tpu.kernels.pallas_spread import _mats_slices
     rank = geom.rank
     bounds_ref = refs[0]
     ct_refs = refs[1:1 + rank]
-    mats_hbm = refs[1 + rank:1 + 2 * rank]
-    tile_ref = refs[1 + 2 * rank]
-    out_hbm = refs[2 + 2 * rank]
-    m_scratch = refs[3 + 2 * rank:3 + 3 * rank]
-    out_scratch = refs[3 + 3 * rank]
-    in_sems = refs[4 + 3 * rank]
-    out_sems = refs[5 + 3 * rank]
+    mats_hbm = refs[1 + rank]
+    tile_ref = refs[2 + rank]
+    out_hbm = refs[3 + rank]
+    m_scratch = refs[4 + rank]
+    out_scratch = refs[5 + rank]
+    in_sems = refs[6 + rank]
+    out_sems = refs[7 + rank]
     used = bounds_ref[geom.num_tiles]
 
-    def chunk_dmas(slot, k):
-        return [
-            pltpu.make_async_copy(mats_hbm[d].at[k],
-                                  m_scratch[d].at[slot],
-                                  in_sems.at[slot, d])
-            for d in range(rank)]
+    def chunk_dma(slot, k):
+        return pltpu.make_async_copy(
+            mats_hbm.at[k], m_scratch.at[slot], in_sems.at[slot])
 
     def write_dma(slot, k):
         return pltpu.make_async_copy(
@@ -180,8 +180,7 @@ def _interp_kernel_resident_mats(*refs, geom: TileGeometry, batch2):
     for j in range(NBUF - 1):
         @pl.when(j < used)
         def _(j=j):
-            for dma in chunk_dmas(j, j):
-                dma.start()
+            chunk_dma(j, j).start()
 
     def body(k, _):
         slot = jax.lax.rem(k, jnp.asarray(NBUF, k.dtype))
@@ -190,13 +189,11 @@ def _interp_kernel_resident_mats(*refs, geom: TileGeometry, batch2):
         @pl.when(k + NBUF - 1 < used)
         def _():
             nslot = jax.lax.rem(k + NBUF - 1, jnp.asarray(NBUF, k.dtype))
-            for dma in chunk_dmas(nslot, k + NBUF - 1):
-                dma.start()
+            chunk_dma(nslot, k + NBUF - 1).start()
 
-        for dma in chunk_dmas(slot, k):
-            dma.wait()
+        chunk_dma(slot, k).wait()
         tids = [ct_refs[d][k] for d in range(rank)]
-        mats_t = [m_scratch[d][slot] for d in range(rank)]
+        mats_t = _mats_slices(m_scratch, slot, geom)
 
         @pl.when(k >= 2)
         def _():
@@ -281,27 +278,26 @@ def _interp_kernel(bounds_ref, payload_hbm, tile_ref, out_hbm,
 
 def _interp_kernel_mats(*refs, geom: TileGeometry, batch2):
     """Per-tile-grid interp streaming precomputed kernel matrices
-    (dual of pallas_spread._spread_kernel_mats): per-chunk [E_d, C]
-    matrix DMA in, double-buffered [B2, C] value DMA out."""
+    (dual of pallas_spread._spread_kernel_mats): ONE per-chunk
+    concatenated [sum(E_d), C] matrix DMA in, double-buffered [B2, C]
+    value DMA out."""
+    from tensorflow_nufft_tpu.kernels.pallas_spread import _mats_slices
     rank = geom.rank
     bounds_ref = refs[0]
-    mats_hbm = refs[1:1 + rank]
-    tile_ref = refs[1 + rank]
-    out_hbm = refs[2 + rank]
-    m_scratch = refs[3 + rank:3 + 2 * rank]
-    in_sems = refs[3 + 2 * rank]
-    out_scratch = refs[4 + 2 * rank]
-    out_sems = refs[5 + 2 * rank]
+    mats_hbm = refs[1]
+    tile_ref = refs[2]
+    out_hbm = refs[3]
+    m_scratch = refs[4]
+    in_sems = refs[5]
+    out_scratch = refs[6]
+    out_sems = refs[7]
     t = _linear_tile_id(geom)
     start = bounds_ref[t]
     end = bounds_ref[t + 1]
 
-    def chunk_dmas(slot, k):
-        return [
-            pltpu.make_async_copy(mats_hbm[d].at[k],
-                                  m_scratch[d].at[slot],
-                                  in_sems.at[slot, d])
-            for d in range(rank)]
+    def chunk_dma(slot, k):
+        return pltpu.make_async_copy(
+            mats_hbm.at[k], m_scratch.at[slot], in_sems.at[slot])
 
     def write_dma(slot, k):
         return pltpu.make_async_copy(
@@ -310,8 +306,7 @@ def _interp_kernel_mats(*refs, geom: TileGeometry, batch2):
     for j in range(NBUF - 1):
         @pl.when(start + j < end)
         def _(j=j):
-            for dma in chunk_dmas(j, start + j):
-                dma.start()
+            chunk_dma(j, start + j).start()
 
     def body(k, _):
         d = k - start
@@ -321,11 +316,9 @@ def _interp_kernel_mats(*refs, geom: TileGeometry, batch2):
         @pl.when(k + NBUF - 1 < end)
         def _():
             nslot = jax.lax.rem(d + NBUF - 1, jnp.asarray(NBUF, d.dtype))
-            for dma in chunk_dmas(nslot, k + NBUF - 1):
-                dma.start()
+            chunk_dma(nslot, k + NBUF - 1).start()
 
-        for dma in chunk_dmas(slot, k):
-            dma.wait()
+        chunk_dma(slot, k).wait()
 
         @pl.when(d >= 2)
         def _():
@@ -335,7 +328,7 @@ def _interp_kernel_mats(*refs, geom: TileGeometry, batch2):
                                         out_scratch, oslot, geom,
                                         batch2)
         else:
-            mats_t = [m_scratch[dd][slot] for dd in range(rank)]
+            mats_t = _mats_slices(m_scratch, slot, geom)
             out_scratch[oslot] = _interp_chunk_values(tile_ref, mats_t,
                                                       geom, batch2)
         write_dma(oslot, k).start()
@@ -396,15 +389,15 @@ def _interp_group(tiles, binned, payload, plan: NufftPlan,
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1 + rank,
             grid=(1,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * rank
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=(
-                [pltpu.VMEM((NBUF, geom.ext[d], geom.chunk),
-                            jnp.float32) for d in range(rank)]
-                + [pltpu.VMEM((2, batch2, geom.chunk), jnp.float32),
-                   pltpu.SemaphoreType.DMA((NBUF, rank)),
-                   pltpu.SemaphoreType.DMA((2,))]),
+                [pltpu.VMEM((NBUF, mats.shape[1], geom.chunk),
+                            jnp.float32),
+                 pltpu.VMEM((2, batch2, geom.chunk), jnp.float32),
+                 pltpu.SemaphoreType.DMA((NBUF,)),
+                 pltpu.SemaphoreType.DMA((2,))]),
         )
         chunk_vals = pl.pallas_call(
             functools.partial(_interp_kernel_resident_mats,
@@ -414,7 +407,7 @@ def _interp_group(tiles, binned, payload, plan: NufftPlan,
                 (geom.num_chunks, batch2, geom.chunk), jnp.float32),
             interpret=use_interpret(),
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        )(binned.tile_bounds, *binned.chunk_tidx, *mats,
+        )(binned.tile_bounds, *binned.chunk_tidx, mats,
           tiles.astype(jnp.float32))
         flat = chunk_vals.transpose(1, 0, 2).reshape(
             batch2, geom.num_chunks * geom.chunk)
@@ -426,7 +419,7 @@ def _interp_group(tiles, binned, payload, plan: NufftPlan,
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=geom.tiles,
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * rank + [
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [
                 pl.BlockSpec(                            # tile block
                     (1,) * rank + (batch2,) + geom.ext,
                     lambda *ids: tuple(ids[:len(geom.tiles)])
@@ -435,11 +428,11 @@ def _interp_group(tiles, binned, payload, plan: NufftPlan,
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=(
-                [pltpu.VMEM((NBUF, geom.ext[d], geom.chunk),
-                            jnp.float32) for d in range(rank)]
-                + [pltpu.SemaphoreType.DMA((NBUF, rank)),
-                   pltpu.VMEM((2, batch2, geom.chunk), jnp.float32),
-                   pltpu.SemaphoreType.DMA((2,))]),
+                [pltpu.VMEM((NBUF, mats.shape[1], geom.chunk),
+                            jnp.float32),
+                 pltpu.SemaphoreType.DMA((NBUF,)),
+                 pltpu.VMEM((2, batch2, geom.chunk), jnp.float32),
+                 pltpu.SemaphoreType.DMA((2,))]),
         )
         chunk_vals = pl.pallas_call(
             functools.partial(_interp_kernel_mats, geom=geom,
@@ -449,7 +442,7 @@ def _interp_group(tiles, binned, payload, plan: NufftPlan,
                 (geom.num_chunks, batch2, geom.chunk), jnp.float32),
             interpret=use_interpret(),
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        )(binned.tile_bounds, *mats, tiles.astype(jnp.float32))
+        )(binned.tile_bounds, mats, tiles.astype(jnp.float32))
         flat = chunk_vals.transpose(1, 0, 2).reshape(
             batch2, geom.num_chunks * geom.chunk)
         return scatter_chunked(flat, binned)

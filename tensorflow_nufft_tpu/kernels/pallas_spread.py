@@ -40,9 +40,11 @@ from jax.experimental.pallas import tpu as pltpu
 from tensorflow_nufft_tpu.kernels.binning import (
     TileGeometry,
     bin_points,
+    build_combined_payload,
     build_coords_payload,
     build_values_payload,
     choose_geometry,
+    combined_fits,
     overlap_add,
 )
 from tensorflow_nufft_tpu.plan.plan import NufftPlan
@@ -168,7 +170,8 @@ RANK3_SUB = 128
 
 
 def accumulate_spread_subchunk(tile_ref, mats_t, v_scratch, slot,
-                               geom: TileGeometry, batch2: int, mref):
+                               geom: TileGeometry, batch2: int, mref,
+                               rank_offset: int = 0):
     """Rank-3 chunk accumulation in RANK3_SUB-lane sub-chunks.
 
     The Khatri-Rao fold's [E0*E1, C] intermediate is the kernel-stack
@@ -195,7 +198,7 @@ def accumulate_spread_subchunk(tile_ref, mats_t, v_scratch, slot,
         m2 = mref[e0 + e1:, js]
         w = (m0[:, None, :] * m1[None, :, :]).reshape(e0 * e1, sub)
         for b in range(batch2):         # static unroll over channels
-            p = m2 * v_scratch[slot, b, js][None, :]         # [Ex, S]
+            p = m2 * v_scratch[slot, rank_offset + b, js][None, :]
             contrib = jax.lax.dot_general(
                 w, p, dn, preferred_element_type=jnp.float32,
                 precision=_MXU_PRECISION)                    # [ZY, Ex]
@@ -209,17 +212,17 @@ def accumulate_spread_subchunk_refs(tile_ref, m_scratch, slot,
                                     v_scratch, geom: TileGeometry,
                                     batch2: int):
     """accumulate_spread_subchunk reading the per-axis matrices straight
-    from the streamed [NBUF, E_d, C] scratch refs (mats variant — no
-    staging copy needed)."""
+    from the streamed [NBUF, sum(E_d), C] concatenated scratch ref (mats
+    variant — no staging copy needed)."""
     e0, e1, e2 = geom.ext
     sub = min(RANK3_SUB, geom.chunk)
     dn = (((1,), (1,)), ((), ()))
 
     def body(j, _):
         js = pl.ds(j * sub, sub)
-        m0 = m_scratch[0][slot, :, js]
-        m1 = m_scratch[1][slot, :, js]
-        m2 = m_scratch[2][slot, :, js]
+        m0 = m_scratch[slot, 0:e0, js]
+        m1 = m_scratch[slot, e0:e0 + e1, js]
+        m2 = m_scratch[slot, e0 + e1:, js]
         w = (m0[:, None, :] * m1[None, :, :]).reshape(e0 * e1, sub)
         for b in range(batch2):         # static unroll over channels
             p = m2 * v_scratch[slot, b, js][None, :]         # [Ex, S]
@@ -382,42 +385,51 @@ def mats_payload_bytes(geom: TileGeometry) -> int:
     return 4 * geom.num_chunks * geom.chunk * sum(geom.ext)
 
 
+def _mats_slices(m_ref, slot, geom: TileGeometry):
+    """Per-axis [E_d, C] views of one slot of the concatenated
+    [NBUF, sum(E_d), C] mats scratch."""
+    views = []
+    off = 0
+    for d in range(geom.rank):
+        views.append(m_ref[slot, off:off + geom.ext[d], :])
+        off += geom.ext[d]
+    return views
+
+
 def _spread_kernel_resident_mats(*refs, geom: TileGeometry, batch2):
     """Resident spread consuming precomputed kernel matrices.
 
     Pure DMA + MXU: the VPU polynomial evaluation lives in the hoisted
     XLA precompute (binning.build_kernel_matrix_payload); per chunk this
-    kernel only waits for the streamed [E_d, C] matrices and runs the
+    kernel only waits for the streamed concatenated [sum(E_d), C]
+    matrix slice (one DMA) plus the values row block and runs the
     accumulation matmuls.
     """
     rank = geom.rank
     bounds_ref = refs[0]
     ct_refs = refs[1:1 + rank]
-    mats_hbm = refs[1 + rank:1 + 2 * rank]
-    values_hbm = refs[1 + 2 * rank]
-    out_ref = refs[2 + 2 * rank]
-    m_scratch = refs[3 + 2 * rank:3 + 3 * rank]
-    v_scratch = refs[3 + 3 * rank]
-    sems = refs[4 + 3 * rank]
+    mats_hbm = refs[1 + rank]
+    values_hbm = refs[2 + rank]
+    out_ref = refs[3 + rank]
+    m_scratch = refs[4 + rank]
+    v_scratch = refs[5 + rank]
+    sems = refs[6 + rank]
     used = bounds_ref[geom.num_tiles]
 
     out_ref[...] = jnp.zeros_like(out_ref)
 
     def chunk_dmas(slot, k):
-        dmas = [
-            pltpu.make_async_copy(mats_hbm[d].at[k],
-                                  m_scratch[d].at[slot],
-                                  sems.at[slot, d])
-            for d in range(rank)]
-        dmas.append(
+        return [
+            pltpu.make_async_copy(mats_hbm.at[k], m_scratch.at[slot],
+                                  sems.at[slot, 0]),
             pltpu.make_async_copy(
                 # Clamp: prefetch preamble probes k past the last chunk
                 # (execution is pl.when-guarded; concrete starts are
                 # statically bounds-checked).
                 values_hbm.at[:, pl.ds(jnp.minimum(
                     k, geom.num_chunks - 1) * geom.chunk, geom.chunk)],
-                v_scratch.at[slot], sems.at[slot, rank]))
-        return dmas
+                v_scratch.at[slot], sems.at[slot, 1]),
+        ]
 
     for j in range(NBUF - 1):
         @pl.when(j < used)
@@ -437,7 +449,7 @@ def _spread_kernel_resident_mats(*refs, geom: TileGeometry, batch2):
         for dma in chunk_dmas(slot, k):
             dma.wait()
         tids = [ct_refs[d][k] for d in range(rank)]
-        mats_t = [m_scratch[d][slot] for d in range(rank)]
+        mats_t = _mats_slices(m_scratch, slot, geom)
         accumulate_spread_at(out_ref, tids, mats_t, v_scratch[slot],
                              geom, batch2, 0)
         return 0
@@ -452,9 +464,116 @@ def _spread_kernel_resident(*refs, geom: TileGeometry, beta, c,
     One global chunk stream with deep prefetch — no per-tile program
     restarts, no pipeline stalls at tile boundaries. Chunk k's
     contribution lands at dynamic tile index (ct0[k], ct1[k], ...).
+    The combined coords+values payload means ONE DMA per chunk.
     Used when the tile array fits the VMEM budget (the per-tile grid
     kernel ``_spread_kernel`` covers larger problems).
     """
+    rank = geom.rank
+    bounds_ref = refs[0]
+    ct_refs = refs[1:1 + rank]
+    payload_hbm, out_ref, d_scratch, sems = refs[1 + rank:]
+    used = bounds_ref[geom.num_tiles]
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    def chunk_dma(slot, k):
+        return pltpu.make_async_copy(
+            # Clamp: prefetch preamble probes k past the last chunk
+            # (execution is pl.when-guarded; concrete starts are
+            # statically bounds-checked).
+            payload_hbm.at[:, pl.ds(jnp.minimum(
+                k, geom.num_chunks - 1) * geom.chunk, geom.chunk)],
+            d_scratch.at[slot], sems.at[slot])
+
+    for j in range(NBUF - 1):
+        @pl.when(j < used)
+        def _(j=j):
+            chunk_dma(j, j).start()
+
+    def body(k, _):
+        slot = jax.lax.rem(k, jnp.asarray(NBUF, k.dtype))
+
+        @pl.when(k + NBUF - 1 < used)
+        def _():
+            nslot = jax.lax.rem(k + NBUF - 1, jnp.asarray(NBUF, k.dtype))
+            chunk_dma(nslot, k + NBUF - 1).start()
+
+        chunk_dma(slot, k).wait()
+        tids = [ct_refs[d][k] for d in range(rank)]
+        origins = [
+            (tids[d] * geom.tile[d] - geom.pad).astype(jnp.float32)
+            for d in range(rank)]
+        data = d_scratch[slot]
+        mats = kernel_matrices_from(data, origins, geom,
+                                    beta, c, half_width, horner)
+        accumulate_spread_at(out_ref, tids, mats, data,
+                             geom, batch2, 2 * rank)
+        return 0
+
+    jax.lax.fori_loop(0, used, body, 0)
+
+
+def _spread_kernel(bounds_ref, payload_hbm, tile_ref,
+                   d_scratch, sems, *scratch_rest,
+                   geom: TileGeometry, beta, c, half_width, batch2,
+                   horner=None):
+    """Per-tile-grid spread streaming the combined coords+values
+    payload: ONE [R8, chunk] DMA per chunk (rows 0..2rank-1 are the
+    coordinate hi/lo words, the rest the channel strengths)."""
+    rank = geom.rank
+    mref = scratch_rest[0] if scratch_rest else None
+    t = _linear_tile_id(geom)
+    start = bounds_ref[t]
+    end = bounds_ref[t + 1]
+    origins = _tile_origins(geom)
+
+    tile_ref[...] = jnp.zeros_like(tile_ref)
+
+    def chunk_dma(slot, k):
+        return pltpu.make_async_copy(
+            # Clamp: prefetch preamble probes k past the last chunk
+            # (execution is pl.when-guarded; concrete starts are
+            # statically bounds-checked).
+            payload_hbm.at[:, pl.ds(jnp.minimum(
+                k, geom.num_chunks - 1) * geom.chunk, geom.chunk)],
+            d_scratch.at[slot], sems.at[slot])
+
+    for j in range(NBUF - 1):
+        @pl.when(start + j < end)
+        def _(j=j):
+            chunk_dma(j, start + j).start()
+
+    def body(k, _):
+        d = k - start
+        slot = jax.lax.rem(d, jnp.asarray(NBUF, d.dtype))
+
+        @pl.when(k + NBUF - 1 < end)
+        def _():
+            nslot = jax.lax.rem(d + NBUF - 1, jnp.asarray(NBUF, d.dtype))
+            chunk_dma(nslot, k + NBUF - 1).start()
+
+        chunk_dma(slot, k).wait()
+        data = d_scratch[slot]
+        mats = kernel_matrices_from(data, origins, geom,
+                                    beta, c, half_width, horner)
+        if mref is not None:
+            accumulate_spread_subchunk(tile_ref, mats, d_scratch, slot,
+                                       geom, batch2, mref,
+                                       rank_offset=2 * rank)
+        else:
+            accumulate_spread(tile_ref, mats, data, geom,
+                              batch2, 2 * rank)
+        return 0
+
+    jax.lax.fori_loop(start, end, body, 0)
+
+
+def _spread_kernel_resident_split(*refs, geom: TileGeometry, beta, c,
+                                  half_width, batch2, horner=None):
+    """_spread_kernel_resident with split coords/values payloads (two
+    DMAs per chunk). Used for channel groups too wide for the combined
+    payload's single 8-sublane block, where the hoistable coords gather
+    outweighs the extra DMA issue."""
     rank = geom.rank
     bounds_ref = refs[0]
     ct_refs = refs[1:1 + rank]
@@ -469,9 +588,6 @@ def _spread_kernel_resident(*refs, geom: TileGeometry, beta, c,
             pltpu.make_async_copy(coords_hbm.at[k], c_scratch.at[slot],
                                   sems.at[slot, 0]),
             pltpu.make_async_copy(
-                # Clamp: prefetch preamble probes k past the last chunk
-                # (execution is pl.when-guarded; concrete starts are
-                # statically bounds-checked).
                 values_hbm.at[:, pl.ds(jnp.minimum(
                     k, geom.num_chunks - 1) * geom.chunk, geom.chunk)],
                 v_scratch.at[slot], sems.at[slot, 1]),
@@ -507,10 +623,12 @@ def _spread_kernel_resident(*refs, geom: TileGeometry, beta, c,
     jax.lax.fori_loop(0, used, body, 0)
 
 
-def _spread_kernel(bounds_ref, coords_hbm, values_hbm, tile_ref,
-                   c_scratch, v_scratch, sems, *scratch_rest,
-                   geom: TileGeometry, beta, c, half_width, batch2,
-                   horner=None):
+def _spread_kernel_split(bounds_ref, coords_hbm, values_hbm, tile_ref,
+                         c_scratch, v_scratch, sems, *scratch_rest,
+                         geom: TileGeometry, beta, c, half_width,
+                         batch2, horner=None):
+    """_spread_kernel with split coords/values payloads (two DMAs per
+    chunk); see _spread_kernel_resident_split for when this wins."""
     mref = scratch_rest[0] if scratch_rest else None
     t = _linear_tile_id(geom)
     start = bounds_ref[t]
@@ -524,9 +642,6 @@ def _spread_kernel(bounds_ref, coords_hbm, values_hbm, tile_ref,
             pltpu.make_async_copy(coords_hbm.at[k], c_scratch.at[slot],
                                   sems.at[slot, 0]),
             pltpu.make_async_copy(
-                # Clamp: prefetch preamble probes k past the last chunk
-                # (execution is pl.when-guarded; concrete starts are
-                # statically bounds-checked).
                 values_hbm.at[:, pl.ds(jnp.minimum(
                     k, geom.num_chunks - 1) * geom.chunk, geom.chunk)],
                 v_scratch.at[slot], sems.at[slot, 1]),
@@ -567,18 +682,19 @@ def _spread_kernel_mats(*refs, geom: TileGeometry, batch2):
     """Per-tile-grid spread streaming precomputed kernel matrices.
 
     ``_spread_kernel`` with the in-kernel VPU polynomial evaluation
-    replaced by per-chunk [E_d, C] matrix DMA — the planned path hoists
-    the evaluation into build_kernel_matrix_payload, turning this
-    kernel into a pure DMA + MXU stream (the eval costs ~2 us/chunk and
-    dominates the 3D kernel at thousands of chunks)."""
+    replaced by a per-chunk concatenated [sum(E_d), C] matrix DMA —
+    the planned path hoists the evaluation into
+    build_kernel_matrix_payload, turning this kernel into a pure
+    DMA + MXU stream (the eval costs ~2 us/chunk and dominates the 3D
+    kernel at thousands of chunks)."""
     rank = geom.rank
     bounds_ref = refs[0]
-    mats_hbm = refs[1:1 + rank]
-    values_hbm = refs[1 + rank]
-    tile_ref = refs[2 + rank]
-    m_scratch = refs[3 + rank:3 + 2 * rank]
-    v_scratch = refs[3 + 2 * rank]
-    sems = refs[4 + 2 * rank]
+    mats_hbm = refs[1]
+    values_hbm = refs[2]
+    tile_ref = refs[3]
+    m_scratch = refs[4]
+    v_scratch = refs[5]
+    sems = refs[6]
     t = _linear_tile_id(geom)
     start = bounds_ref[t]
     end = bounds_ref[t + 1]
@@ -586,19 +702,16 @@ def _spread_kernel_mats(*refs, geom: TileGeometry, batch2):
     tile_ref[...] = jnp.zeros_like(tile_ref)
 
     def chunk_dmas(slot, k):
-        dmas = [
-            pltpu.make_async_copy(mats_hbm[d].at[k],
-                                  m_scratch[d].at[slot],
-                                  sems.at[slot, d])
-            for d in range(rank)]
-        dmas.append(
+        return [
+            pltpu.make_async_copy(mats_hbm.at[k], m_scratch.at[slot],
+                                  sems.at[slot, 0]),
             pltpu.make_async_copy(
                 # Clamp: prefetch preamble probes k past the last chunk
                 # (execution is pl.when-guarded).
                 values_hbm.at[:, pl.ds(jnp.minimum(
                     k, geom.num_chunks - 1) * geom.chunk, geom.chunk)],
-                v_scratch.at[slot], sems.at[slot, rank]))
-        return dmas
+                v_scratch.at[slot], sems.at[slot, 1]),
+        ]
 
     for j in range(NBUF - 1):
         @pl.when(start + j < end)
@@ -622,7 +735,7 @@ def _spread_kernel_mats(*refs, geom: TileGeometry, batch2):
             accumulate_spread_subchunk_refs(tile_ref, m_scratch, slot,
                                             v_scratch, geom, batch2)
         else:
-            mats_t = [m_scratch[dd][slot] for dd in range(rank)]
+            mats_t = _mats_slices(m_scratch, slot, geom)
             accumulate_spread(tile_ref, mats_t, v_scratch[slot], geom,
                               batch2, 0)
         return 0
@@ -654,8 +767,14 @@ def spread_pallas_tiles(strengths_cm: jax.Array, points_resc,
         # array fits; larger problems stream mats through the per-tile
         # grid kernel (_spread_kernel_mats).
         group = resident_group_size(geom) or group
+    # Combined single-DMA payload whenever every group fits one
+    # 8-sublane block (any single complex transform, ranks 1-3); wider
+    # channel groups keep the split layout, whose static coords payload
+    # is shared across groups.
+    combined = (mats is None
+                and combined_fits(rank, min(batch2, group)))
     coords_pl = coords
-    if mats is None and coords_pl is None:
+    if mats is None and not combined and coords_pl is None:
         coords_pl = build_coords_payload(binned, geom)
 
     if batch2 > group:
@@ -663,19 +782,18 @@ def spread_pallas_tiles(strengths_cm: jax.Array, points_resc,
         for i in range(0, batch2, group):
             g_tiles, _ = _spread_group(
                 strengths_cm[i:i + group], binned, coords_pl,
-                geom, plan, mats)
+                geom, plan, mats, combined)
             groups.append(g_tiles)
         return jnp.concatenate(groups, axis=rank), geom
     tiles, _ = _spread_group(strengths_cm, binned, coords_pl, geom,
-                             plan, mats)
+                             plan, mats, combined)
     return tiles, geom
 
 
 def _spread_group(strengths_cm, binned, coords_pl, geom: TileGeometry,
-                  plan: NufftPlan, mats=None):
+                  plan: NufftPlan, mats=None, combined=False):
     batch2 = strengths_cm.shape[0]
     rank = geom.rank
-    values_pl = build_values_payload(strengths_cm, binned, geom)
     common = dict(
         geom=geom, beta=np.float32(plan.beta), c=np.float32(plan.c),
         half_width=np.float32(plan.half_width), batch2=batch2,
@@ -687,46 +805,42 @@ def _spread_group(strengths_cm, binned, coords_pl, geom: TileGeometry,
     # Not the default because XLA does not hoist the ~100 MB matrix
     # build out of user iteration loops; the planned API computes it
     # eagerly once (see planar.PlannedNufft).
-    if mats is not None and resident_fits(geom, batch2):
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1 + rank,
-            grid=(1,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (rank + 1),
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            scratch_shapes=(
-                [pltpu.VMEM((NBUF, geom.ext[d], geom.chunk),
-                            jnp.float32) for d in range(rank)]
-                + [pltpu.VMEM((NBUF, values_pl.shape[0], geom.chunk),
-                              jnp.float32),
-                   pltpu.SemaphoreType.DMA((NBUF, rank + 1))]),
-        )
-        tiles = pl.pallas_call(
-            functools.partial(_spread_kernel_resident_mats,
-                              geom=geom, batch2=batch2),
-            grid_spec=grid_spec,
-            out_shape=out_shape,
-            interpret=use_interpret(),
-        )(binned.tile_bounds, *binned.chunk_tidx, *mats, values_pl)
-        return tiles, geom
-
     if mats is not None:
+        values_pl = build_values_payload(strengths_cm, binned, geom)
+        mats_scratch = [
+            pltpu.VMEM((NBUF, mats.shape[1], geom.chunk), jnp.float32),
+            pltpu.VMEM((NBUF, values_pl.shape[0], geom.chunk),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF, 2)),
+        ]
+        if resident_fits(geom, batch2):
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1 + rank,
+                grid=(1,),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                scratch_shapes=mats_scratch,
+            )
+            tiles = pl.pallas_call(
+                functools.partial(_spread_kernel_resident_mats,
+                                  geom=geom, batch2=batch2),
+                grid_spec=grid_spec,
+                out_shape=out_shape,
+                interpret=use_interpret(),
+            )(binned.tile_bounds, *binned.chunk_tidx, mats, values_pl)
+            return tiles, geom
         # Tile array too big for residence: per-tile grid kernel
         # streaming the precomputed matrices (the planned 3D path).
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,               # tile chunk bounds
             grid=geom.tiles,
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (rank + 1),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
             out_specs=pl.BlockSpec(
                 (1,) * rank + (batch2,) + geom.ext,
                 lambda *ids: tuple(ids[:len(geom.tiles)])
                 + (0,) * (rank + 1),
                 memory_space=pltpu.VMEM),
-            scratch_shapes=(
-                [pltpu.VMEM((NBUF, geom.ext[d], geom.chunk),
-                            jnp.float32) for d in range(rank)]
-                + [pltpu.VMEM((NBUF, values_pl.shape[0], geom.chunk),
-                              jnp.float32),
-                   pltpu.SemaphoreType.DMA((NBUF, rank + 1))]),
+            scratch_shapes=mats_scratch,
         )
         tiles = pl.pallas_call(
             functools.partial(_spread_kernel_mats, geom=geom,
@@ -734,9 +848,55 @@ def _spread_group(strengths_cm, binned, coords_pl, geom: TileGeometry,
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=use_interpret(),
-        )(binned.tile_bounds, *mats, values_pl)
+        )(binned.tile_bounds, mats, values_pl)
         return tiles, geom
 
+    if combined:
+        payload = build_combined_payload(strengths_cm, binned,
+                                                 geom)
+        payload_scratch = [
+            pltpu.VMEM((NBUF, payload.shape[0], geom.chunk),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+        ]
+        if resident_fits(geom, batch2):
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1 + rank,
+                grid=(1,),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                scratch_shapes=payload_scratch,
+            )
+            tiles = pl.pallas_call(
+                functools.partial(_spread_kernel_resident, **common),
+                grid_spec=grid_spec,
+                out_shape=out_shape,
+                interpret=use_interpret(),
+            )(binned.tile_bounds, *binned.chunk_tidx, payload)
+            return tiles, geom
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,               # tile chunk bounds
+            grid=geom.tiles,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (1,) * rank + (batch2,) + geom.ext,
+                lambda *ids: tuple(ids[:len(geom.tiles)])
+                + (0,) * (rank + 1),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=payload_scratch + (
+                # Rank-3 sub-chunk fold: kernel-matrix staging ref.
+                [pltpu.VMEM((sum(geom.ext), geom.chunk), jnp.float32)]
+                if rank == 3 else []),
+        )
+        tiles = pl.pallas_call(
+            functools.partial(_spread_kernel, **common),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=use_interpret(),
+        )(binned.tile_bounds, payload)
+        return tiles, geom
+
+    values_pl = build_values_payload(strengths_cm, binned, geom)
     payload_scratch = [
         pltpu.VMEM((NBUF,) + coords_pl.shape[1:], jnp.float32),
         pltpu.VMEM((NBUF, values_pl.shape[0], geom.chunk), jnp.float32),
@@ -753,14 +913,14 @@ def _spread_group(strengths_cm, binned, coords_pl, geom: TileGeometry,
             scratch_shapes=payload_scratch,
         )
         tiles = pl.pallas_call(
-            functools.partial(_spread_kernel_resident, **common),
+            functools.partial(_spread_kernel_resident_split, **common),
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=use_interpret(),
         )(binned.tile_bounds, *binned.chunk_tidx, coords_pl, values_pl)
         return tiles, geom
 
-    kernel = functools.partial(_spread_kernel, **common)
+    kernel = functools.partial(_spread_kernel_split, **common)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,                   # tile chunk bounds
         grid=geom.tiles,

@@ -163,16 +163,15 @@ def main():
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1 + rank,
                 grid=(1,),
-                in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (rank + 1),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
                 out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
                 scratch_shapes=(
-                    [pltpu.VMEM((pallas_spread.NBUF, geom.chunk,
-                                 -(-geom.ext[d] // 128) * 128),
-                                jnp.float32) for d in range(rank)]
+                    [pltpu.VMEM((pallas_spread.NBUF, mats.shape[1],
+                                 geom.chunk), jnp.float32)]
                     + [pltpu.VMEM((pallas_spread.NBUF,)
                                   + values_pl.shape[1:], jnp.float32),
                        pltpu.SemaphoreType.DMA(
-                           (pallas_spread.NBUF, rank + 1))]),
+                           (pallas_spread.NBUF, 2))]),
             )
             return pl.pallas_call(
                 ft.partial(pallas_spread._spread_kernel_resident_mats,
@@ -180,7 +179,7 @@ def main():
                 grid_spec=grid_spec,
                 out_shape=jax.ShapeDtypeStruct(
                     geom.tiles + (batch2,) + geom.ext, jnp.float32),
-            )(binned.tile_bounds, *binned.chunk_tidx, *mats, values_pl)
+            )(binned.tile_bounds, *binned.chunk_tidx, mats, values_pl)
 
         def make(k):
             @jax.jit
@@ -200,16 +199,15 @@ def main():
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1 + rank,
                 grid=(1,),
-                in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (rank + 1),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
                 out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
                 scratch_shapes=(
-                    [pltpu.VMEM((pallas_spread.NBUF, geom.chunk,
-                                 -(-geom.ext[d] // 128) * 128),
-                                jnp.float32) for d in range(rank)]
+                    [pltpu.VMEM((pallas_spread.NBUF, mats.shape[1],
+                                 geom.chunk), jnp.float32)]
                     + [pltpu.VMEM((pallas_spread.NBUF,)
                                   + values_pl.shape[1:], jnp.float32),
                        pltpu.SemaphoreType.DMA(
-                           (pallas_spread.NBUF, rank + 1))]),
+                           (pallas_spread.NBUF, 2))]),
             )
             return pl.pallas_call(
                 ft.partial(pallas_spread._spread_kernel_resident_mats,
@@ -217,7 +215,7 @@ def main():
                 grid_spec=grid_spec,
                 out_shape=jax.ShapeDtypeStruct(
                     geom.tiles + (batch2,) + geom.ext, jnp.float32),
-            )(binned.tile_bounds, *binned.chunk_tidx, *mats, values_pl)
+            )(binned.tile_bounds, *binned.chunk_tidx, mats, values_pl)
 
         def make2(k):
             @jax.jit

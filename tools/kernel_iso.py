@@ -31,13 +31,13 @@ def call_kernel(vp):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1 + rank,
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (rank + 1),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=(
-            [pltpu.VMEM((ps.NBUF, geom.ext[d], geom.chunk), jnp.float32)
-             for d in range(rank)]
+            [pltpu.VMEM((ps.NBUF, mats.shape[1], geom.chunk),
+                        jnp.float32)]
             + [pltpu.VMEM((ps.NBUF,) + vp.shape[1:], jnp.float32),
-               pltpu.SemaphoreType.DMA((ps.NBUF, rank + 1))]),
+               pltpu.SemaphoreType.DMA((ps.NBUF, 2))]),
     )
     return pl.pallas_call(
         functools.partial(ps._spread_kernel_resident_mats,
@@ -45,7 +45,7 @@ def call_kernel(vp):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             geom.tiles + (batch2,) + geom.ext, jnp.float32),
-    )(binned.tile_bounds, *binned.chunk_tidx, *mats, vp)
+    )(binned.tile_bounds, *binned.chunk_tidx, mats, vp)
 
 def perturb(i):
     return 1.0 + 1e-3 * jnp.sin(i.astype(jnp.float32))

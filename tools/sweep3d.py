@@ -30,7 +30,7 @@ CONFIGS = [
 
 
 def run_case(lead_prefs, chunk):
-    binning._TILE_PREFS_3D_LEAD = tuple(lead_prefs)
+    binning._TILE_PREFS_3D = (tuple(lead_prefs),) + binning._TILE_PREFS_3D[1:]
     binning.set_geometry_overrides(chunk=chunk)
     grid = (128, 128, 128)
     m = 800_000

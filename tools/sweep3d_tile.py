@@ -1,0 +1,91 @@
+"""Per-axis tile-geometry sweep of the planned 3D t1 path on TPU.
+
+Usage: python tools/sweep3d_tile.py T0 T1 T2 [chunk] — times the
+values payload, payload+spread kernel, tiled mode-DFT and full call
+for one geometry (one process per config keeps compiles isolated).
+"""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax                                              # noqa: E402
+import jax.numpy as jnp                                 # noqa: E402
+import tensorflow_nufft_tpu as tfft                     # noqa: E402
+from tensorflow_nufft_tpu.planar import to_planar       # noqa: E402
+from tensorflow_nufft_tpu.kernels import binning        # noqa: E402
+from tensorflow_nufft_tpu.kernels.pallas_spread import (  # noqa: E402
+    spread_pallas_tiles)
+from tensorflow_nufft_tpu.fft.planar_fft import (        # noqa: E402
+    dft_truncate_deconvolve_tiled)
+
+K2 = 5
+GRID = (128, 128, 128)
+M = 800_000
+
+tile = tuple(int(x) for x in sys.argv[1:4])
+chunk = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+binning.set_geometry_overrides(chunk=chunk, tile=tile)
+
+rng = np.random.default_rng(7)
+pts = jnp.asarray(rng.uniform(-np.pi, np.pi, (M, 3)).astype(np.float32))
+zs = rng.standard_normal((M,)) + 1j * rng.standard_normal((M,))
+strengths = jnp.asarray(to_planar(zs.astype(np.complex64)))[None]
+
+op = tfft.planar.PlannedNufft(pts, GRID, transform_type="type_1")
+geom = op.geom
+print(f"tile={geom.tile} ext={geom.ext} chunk={geom.chunk} "
+      f"num_tiles={geom.num_tiles} num_chunks={geom.num_chunks} "
+      f"level={op._level}", file=sys.stderr, flush=True)
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def marginal(stage_fn, label, x):
+    def make(k):
+        @jax.jit
+        def f(v):
+            def body(i, acc):
+                out = stage_fn(v * (1.0 + 1e-3 * jnp.sin(
+                    i.astype(jnp.float32))))
+                out = jax.lax.optimization_barrier(out)
+                return acc + out.ravel()[0]
+            return jax.lax.fori_loop(0, k, body, 0.0)
+        return f
+
+    def timed(f):
+        np.asarray(f(x))
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(f(x))
+            best = min(best, time.perf_counter() - t0)
+        return best
+    t1, tk = timed(make(1)), timed(make(K2))
+    per = max((tk - t1) / (K2 - 1), 1e-9)
+    log(f"{label:26s}: {per * 1e3:9.3f} ms")
+
+
+def s_spread(x):
+    src_cm = jnp.moveaxis(x, -1, 1).reshape(2, M)
+    tiles, _ = spread_pallas_tiles(
+        src_cm.astype(jnp.float32), op.points_resc, op.plan,
+        binned=op.binned, mats=op.mats, coords=op.coords)
+    return tiles
+
+
+tiles0 = jax.jit(s_spread)(strengths)
+
+stages = sys.argv[5:] or ["spread", "dft", "full"]
+if "spread" in stages:
+    marginal(s_spread, "payload+spread kernel", strengths)
+if "dft" in stages:
+    marginal(lambda t: dft_truncate_deconvolve_tiled(
+        t, op.plan, op.geom, 1), "tiled mode-DFT", tiles0)
+if "full" in stages:
+    marginal(lambda x: op(x), "full planned t1", strengths)
+binning.set_geometry_overrides()
