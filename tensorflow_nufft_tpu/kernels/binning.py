@@ -460,6 +460,40 @@ def build_values_payload(values_cm: jax.Array, binned: BinnedPoints,
     return src[:, binned.invpos]
 
 
+def pack_values_slots(values_slots: jax.Array) -> jax.Array:
+    """[B2, NC * chunk] SLOT-ORDER values -> spread values payload.
+
+    The chunk-order dual of ``build_values_payload``: rows are
+    sublane-padded to a multiple of 8 with zeros, but there is NO
+    gather — used when upstream work (a planned type-2 interp with
+    ``chunk_order=True``) already produced the values in slot order.
+    Fusing adjoint-after-forward this way removes both point-order
+    permutations from iterative algorithms (the CG normal operator).
+    """
+    b2, _ = values_slots.shape
+    r_pad = -(-b2 // 8) * 8
+    src = values_slots.astype(jnp.float32)
+    if r_pad != b2:
+        src = jnp.concatenate(
+            [src, jnp.zeros((r_pad - b2,) + src.shape[1:],
+                            jnp.float32)], axis=0)
+    return src
+
+
+def slot_order_scalar(x: jax.Array, binned: BinnedPoints) -> jax.Array:
+    """[M] point-order reals -> [NC * chunk] slot order (zero in padded
+    slots). One minor-axis gather; meant for plan-time permutation of
+    per-point weights (density compensation) feeding the fused normal
+    operator."""
+    src = jnp.concatenate(
+        [x.astype(jnp.float32)[None, :],
+         jnp.zeros((1, 1), jnp.float32)], axis=1)       # [1, M + 1]
+    src = jnp.concatenate(
+        [src, jnp.zeros((7, src.shape[1]), jnp.float32)], axis=0)
+    src = jax.lax.optimization_barrier(src)
+    return src[:, binned.invpos][0]
+
+
 def combined_rows(rank: int, b2: int) -> int:
     """Row count of the combined coords+values payload."""
     return 2 * rank + b2

@@ -348,12 +348,18 @@ def _interp_kernel_mats(*refs, geom: TileGeometry, batch2):
 def interp_pallas_tiled(tiles: jax.Array, points_resc,
                         plan: NufftPlan, geom: TileGeometry,
                         binned=None, mats=None,
-                        coords=None) -> jax.Array:
+                        coords=None, chunk_order=False) -> jax.Array:
     """[*tiles, B2, *ext] extended blocks + rescaled points ->
     [B2, M]. The halo windowing is the caller's (fused into the upstream
     contraction by amplify_pad_dft_tiled, or done by extend_tiles).
     ``binned``/``mats`` (from a planned transform) skip the points-side
-    preprocessing and the in-kernel polynomial evaluation."""
+    preprocessing and the in-kernel polynomial evaluation.
+
+    ``chunk_order=True`` returns [B2, NC*chunk] values in SLOT order
+    (zeros in padded slots) instead of point order, skipping the
+    un-permute gather — feed straight into
+    ``spread_pallas_tiles(values_slots=...)`` for a fused normal
+    operator."""
     from tensorflow_nufft_tpu.kernels.pallas_spread import (
         resident_group_size, streaming_group_size)
     rank = geom.rank
@@ -374,13 +380,15 @@ def interp_pallas_tiled(tiles: jax.Array, points_resc,
         for i in range(0, batch2, group):
             sl = (slice(None),) * rank + (slice(i, i + group),)
             groups.append(_interp_group(tiles[sl], binned, payload,
-                                        plan, geom, mats))
+                                        plan, geom, mats, chunk_order))
         return jnp.concatenate(groups, axis=0)
-    return _interp_group(tiles, binned, payload, plan, geom, mats)
+    return _interp_group(tiles, binned, payload, plan, geom, mats,
+                         chunk_order)
 
 
 def _interp_group(tiles, binned, payload, plan: NufftPlan,
-                  geom: TileGeometry, mats=None) -> jax.Array:
+                  geom: TileGeometry, mats=None,
+                  chunk_order=False) -> jax.Array:
     from tensorflow_nufft_tpu.kernels.pallas_spread import resident_fits
     rank = geom.rank
     batch2 = tiles.shape[rank]
@@ -411,6 +419,8 @@ def _interp_group(tiles, binned, payload, plan: NufftPlan,
           tiles.astype(jnp.float32))
         flat = chunk_vals.transpose(1, 0, 2).reshape(
             batch2, geom.num_chunks * geom.chunk)
+        if chunk_order:
+            return flat
         return scatter_chunked(flat, binned)
 
     if mats is not None:
@@ -445,6 +455,8 @@ def _interp_group(tiles, binned, payload, plan: NufftPlan,
         )(binned.tile_bounds, mats, tiles.astype(jnp.float32))
         flat = chunk_vals.transpose(1, 0, 2).reshape(
             batch2, geom.num_chunks * geom.chunk)
+        if chunk_order:
+            return flat
         return scatter_chunked(flat, binned)
 
     kernel = functools.partial(
@@ -485,6 +497,8 @@ def _interp_group(tiles, binned, payload, plan: NufftPlan,
     )(binned.tile_bounds, payload, tiles.astype(jnp.float32))
     flat = chunk_vals.transpose(1, 0, 2).reshape(
         batch2, geom.num_chunks * geom.chunk)
+    if chunk_order:
+        return flat
     return scatter_chunked(flat, binned)
 
 

@@ -46,6 +46,7 @@ from tensorflow_nufft_tpu.kernels.binning import (
     choose_geometry,
     combined_fits,
     overlap_add,
+    pack_values_slots,
 )
 from tensorflow_nufft_tpu.plan.plan import NufftPlan
 
@@ -745,7 +746,7 @@ def _spread_kernel_mats(*refs, geom: TileGeometry, batch2):
 
 def spread_pallas_tiles(strengths_cm: jax.Array, points_resc,
                         plan: NufftPlan, binned=None, mats=None,
-                        coords=None):
+                        coords=None, values_slots=None):
     """[B2, M] channel-major real strengths + rescaled points (or
     (hi, lo) pair) -> ([*tiles, B2, *ext] extended tile blocks, geom).
 
@@ -754,9 +755,16 @@ def spread_pallas_tiles(strengths_cm: jax.Array, points_resc,
     payload is built (see binning.build_values_payload).
     ``binned``/``mats`` (from a planned transform) skip the points-side
     preprocessing and the in-kernel polynomial evaluation.
+
+    ``values_slots`` ([B2, NC*chunk] slot-order values, from a
+    chunk-order planned interp) replaces ``strengths_cm`` entirely and
+    skips the point-order permutation gather — the fused normal-operator
+    path. Padded slots must be zero (the chunk-order interp guarantees
+    this).
     """
     m = num_points_of(points_resc)
-    batch2 = strengths_cm.shape[0]
+    batch2 = (strengths_cm if values_slots is None
+              else values_slots).shape[0]
     geom = choose_geometry(plan.fine_shape, plan.width, m)
     rank = geom.rank
     if binned is None:
@@ -770,8 +778,10 @@ def spread_pallas_tiles(strengths_cm: jax.Array, points_resc,
     # Combined single-DMA payload whenever every group fits one
     # 8-sublane block (any single complex transform, ranks 1-3); wider
     # channel groups keep the split layout, whose static coords payload
-    # is shared across groups.
-    combined = (mats is None
+    # is shared across groups. Slot-order values arrive pre-permuted,
+    # so there is no point-order source to build a combined payload
+    # from — they always ride the split/mats kernels.
+    combined = (mats is None and values_slots is None
                 and combined_fits(rank, min(batch2, group)))
     coords_pl = coords
     if mats is None and not combined and coords_pl is None:
@@ -781,18 +791,23 @@ def spread_pallas_tiles(strengths_cm: jax.Array, points_resc,
         groups = []
         for i in range(0, batch2, group):
             g_tiles, _ = _spread_group(
-                strengths_cm[i:i + group], binned, coords_pl,
-                geom, plan, mats, combined)
+                None if strengths_cm is None
+                else strengths_cm[i:i + group],
+                binned, coords_pl, geom, plan, mats, combined,
+                None if values_slots is None
+                else values_slots[i:i + group])
             groups.append(g_tiles)
         return jnp.concatenate(groups, axis=rank), geom
     tiles, _ = _spread_group(strengths_cm, binned, coords_pl, geom,
-                             plan, mats, combined)
+                             plan, mats, combined, values_slots)
     return tiles, geom
 
 
 def _spread_group(strengths_cm, binned, coords_pl, geom: TileGeometry,
-                  plan: NufftPlan, mats=None, combined=False):
-    batch2 = strengths_cm.shape[0]
+                  plan: NufftPlan, mats=None, combined=False,
+                  values_slots=None):
+    batch2 = (strengths_cm if values_slots is None
+              else values_slots).shape[0]
     rank = geom.rank
     common = dict(
         geom=geom, beta=np.float32(plan.beta), c=np.float32(plan.c),
@@ -806,7 +821,9 @@ def _spread_group(strengths_cm, binned, coords_pl, geom: TileGeometry,
     # build out of user iteration loops; the planned API computes it
     # eagerly once (see planar.PlannedNufft).
     if mats is not None:
-        values_pl = build_values_payload(strengths_cm, binned, geom)
+        values_pl = (build_values_payload(strengths_cm, binned, geom)
+                     if values_slots is None
+                     else pack_values_slots(values_slots))
         mats_scratch = [
             pltpu.VMEM((NBUF, mats.shape[1], geom.chunk), jnp.float32),
             pltpu.VMEM((NBUF, values_pl.shape[0], geom.chunk),
@@ -896,7 +913,9 @@ def _spread_group(strengths_cm, binned, coords_pl, geom: TileGeometry,
         )(binned.tile_bounds, payload)
         return tiles, geom
 
-    values_pl = build_values_payload(strengths_cm, binned, geom)
+    values_pl = (build_values_payload(strengths_cm, binned, geom)
+                 if values_slots is None
+                 else pack_values_slots(values_slots))
     payload_scratch = [
         pltpu.VMEM((NBUF,) + coords_pl.shape[1:], jnp.float32),
         pltpu.VMEM((NBUF, values_pl.shape[0], geom.chunk), jnp.float32),

@@ -135,10 +135,14 @@ class SenseNufft:
         self.tol = tol
         self.options = options or Options()
         self._t2 = None
+        self._slot_density = None
         if planned and self.points.ndim == 2:
             self._t2 = planar.PlannedNufft(
                 self.points, self.grid_shape, transform_type="type_2",
                 fft_direction="forward", tol=tol, options=self.options)
+            if self._t2._planned and self.density is not None:
+                # Slot-order density for the fused normal operator.
+                self._slot_density = self._t2.slot_weights(self.density)
 
     def forward(self, image: jax.Array) -> jax.Array:
         """[*grid, 2] -> [C, M, 2]."""
@@ -167,7 +171,18 @@ class SenseNufft:
         return jnp.sum(pmul(pconj(self.maps), coil_images), axis=0)
 
     def normal(self, image: jax.Array) -> jax.Array:
-        """A^H A applied to an image (the CG system operator)."""
+        """A^H W A applied to an image (the CG system operator).
+
+        On the planned TPU path this runs the fused chunk-order
+        composition (``PlannedNufft.normal``): the per-coil point
+        values never leave chunk-slot order between the interp and
+        spread kernels, skipping both point-order permutations per
+        iteration."""
+        if self._t2 is not None and self._t2._planned:
+            coil_images = pmul(self.maps, image[None])
+            coil_normal = self._t2.normal(coil_images,
+                                          self._slot_density)
+            return jnp.sum(pmul(pconj(self.maps), coil_normal), axis=0)
         return self.adjoint(self.forward(image))
 
 

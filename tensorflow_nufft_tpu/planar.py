@@ -302,6 +302,26 @@ def _planned_call(source, planned):
     return planned._apply(source)
 
 
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _planned_normal_call(source, slot_w, planned):
+    return planned._apply_normal(source, slot_w)
+
+
+def _planned_normal_fwd(source, slot_w, planned):
+    return _planned_normal_call(source, slot_w, planned), slot_w
+
+
+def _planned_normal_bwd(planned, slot_w, cotangent):
+    # A^H W A with real W is self-adjoint, and the planar-real
+    # transpose of a self-adjoint complex-linear operator is itself.
+    # Weights are treated as non-differentiable plan data.
+    return (_planned_normal_call(cotangent, slot_w, planned),
+            None if slot_w is None else jnp.zeros_like(slot_w))
+
+
+_planned_normal_call.defvjp(_planned_normal_fwd, _planned_normal_bwd)
+
+
 def _planned_fwd(source, planned):
     return _planned_call(source, planned), None
 
@@ -468,6 +488,72 @@ class PlannedNufft:
             binned=self.binned, mats=self.mats, coords=self.coords)
         split = values.reshape(batch, 2, m)
         return jnp.moveaxis(split, 1, -1).astype(source.dtype)
+
+    def slot_weights(self, weights) -> jax.Array:
+        """Per-point real weights [M] -> chunk-slot order for
+        ``normal`` (zero in padded slots). Compute once per weight
+        vector and reuse across iterations."""
+        from tensorflow_nufft_tpu.kernels import binning
+        if not self._planned:
+            return jnp.asarray(weights)
+        return binning.slot_order_scalar(jnp.asarray(weights),
+                                         self.binned)
+
+    def normal(self, source, slot_w=None):
+        """Fused normal operator ``A^H W A``: the type-2 forward
+        followed by the type-1 adjoint with the intermediate point
+        values kept in chunk-slot order — neither the interp
+        un-permute nor the spread payload permutation runs, which
+        removes the two point-order gathers from every CG iteration
+        (the dominant non-MXU cost at large M).
+
+        Args:
+            source: [B, *grid, 2] planar images.
+            slot_w: optional [NC*chunk] slot-order real weights from
+                ``slot_weights`` (density compensation). Treated as
+                non-differentiable.
+
+        Returns:
+            [B, *grid, 2] planar ``A^H W A source``.
+
+        Mirrors the role of composed forward+adjoint in the
+        reference's toeplitz-free CG recon (docs/examples
+        mri_app.ipynb); the fusion itself has no reference
+        counterpart.
+        """
+        source = jnp.asarray(source)
+        if not self._planned:
+            if slot_w is not None:
+                raise ValueError(
+                    "slot_w requires the planned (TPU) pipeline")
+            t2 = (self if self.transform_type == "type_2"
+                  else self.adjoint())
+            return t2.adjoint()(t2(source))
+        return _planned_normal_call(source, slot_w, self)
+
+    def _apply_normal(self, source, slot_w=None):
+        from tensorflow_nufft_tpu.fft.planar_fft import (
+            amplify_pad_dft_tiled, dft_truncate_deconvolve_tiled)
+        from tensorflow_nufft_tpu.kernels.pallas_interp import (
+            interp_pallas_tiled)
+        from tensorflow_nufft_tpu.kernels.pallas_spread import (
+            spread_pallas_tiles)
+        t2 = self if self.transform_type == "type_2" else self.adjoint()
+        t1 = t2.adjoint()
+        batch = source.shape[0]
+        tiles = amplify_pad_dft_tiled(source, t2.plan, t2.geom)
+        flat = interp_pallas_tiled(
+            tiles, t2.points_resc, t2.plan, t2.geom, binned=t2.binned,
+            mats=t2.mats, coords=t2.coords,
+            chunk_order=True)                       # [B2, NC*chunk]
+        if slot_w is not None:
+            flat = flat * jax.lax.stop_gradient(slot_w)[None, :]
+        tiles1, _ = spread_pallas_tiles(
+            None, t2.points_resc, t1.plan, binned=t2.binned,
+            mats=t2.mats, coords=t2.coords, values_slots=flat)
+        out = dft_truncate_deconvolve_tiled(tiles1, t1.plan, t2.geom,
+                                            batch)
+        return out.astype(source.dtype)
 
     def __call__(self, source):
         """Applies the transform to planar ``source``.

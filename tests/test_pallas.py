@@ -359,3 +359,81 @@ class TestRankingBranches:
         np.testing.assert_array_equal(padpos, expect)
         tb = np.asarray(b.tile_bounds)
         np.testing.assert_array_equal(tb[:-1], chunk_starts)
+
+
+class TestFusedNormal:
+    """PlannedNufft.normal: the chunk-order fused A^H W A matches the
+    composed adjoint-after-forward bit-for-bit (same kernels, the
+    point-order permutations are exact), on both plan levels."""
+
+    def _op(self, rng, grid, transform_type="type_2"):
+        m = 400
+        pts = random_points(rng, (m, len(grid)), np.float32)
+        opts = tfft.Options(backend="pallas")
+        return tfft.planar.PlannedNufft(
+            pts, grid, transform_type=transform_type, options=opts), m
+
+    @pytest.mark.parametrize("grid", [(32,), (16, 24), (12, 16, 8)])
+    def test_matches_composed(self, rng, grid):
+        op, _ = self._op(rng, grid)
+        assert op._level == "mats"
+        src = rng.standard_normal((2,) + grid + (2,)).astype(np.float32)
+        ref = np.asarray(op.adjoint()(op(src)))
+        got = np.asarray(op.normal(src))
+        np.testing.assert_allclose(got, ref, rtol=1e-6,
+                                   atol=1e-6 * np.abs(ref).max())
+
+    def test_matches_composed_binned_level(self, rng, monkeypatch):
+        from tensorflow_nufft_tpu.kernels import pallas_spread
+        monkeypatch.setattr(pallas_spread, "MATS_BYTES_BUDGET", 0)
+        op, _ = self._op(rng, (16, 24))
+        assert op._level == "binned"
+        src = rng.standard_normal((1, 16, 24, 2)).astype(np.float32)
+        ref = np.asarray(op.adjoint()(op(src)))
+        got = np.asarray(op.normal(src))
+        np.testing.assert_allclose(got, ref, rtol=1e-6,
+                                   atol=1e-6 * np.abs(ref).max())
+
+    def test_weighted(self, rng):
+        op, m = self._op(rng, (16, 24))
+        w = rng.uniform(0.5, 2.0, (m,)).astype(np.float32)
+        sw = op.slot_weights(jnp.asarray(w))
+        src = rng.standard_normal((2, 16, 24, 2)).astype(np.float32)
+        ref = np.asarray(op.adjoint()(
+            op(src) * jnp.asarray(w)[None, :, None]))
+        got = np.asarray(op.normal(src, sw))
+        np.testing.assert_allclose(got, ref, rtol=1e-6,
+                                   atol=1e-6 * np.abs(ref).max())
+
+    def test_type1_instance(self, rng):
+        """normal on a type-1 planned instance: A W A^H on grid input."""
+        op, m = self._op(rng, (16, 24), transform_type="type_1")
+        src = rng.standard_normal((1, 16, 24, 2)).astype(np.float32)
+        t2 = op.adjoint()
+        ref = np.asarray(op(t2(src)))
+        got = np.asarray(op.normal(src))
+        np.testing.assert_allclose(got, ref, rtol=1e-6,
+                                   atol=1e-6 * np.abs(ref).max())
+
+    def test_vjp_is_self(self, rng):
+        """The normal operator is self-adjoint: its VJP applies itself."""
+        op, m = self._op(rng, (16, 24))
+        w = rng.uniform(0.5, 2.0, (m,)).astype(np.float32)
+        sw = op.slot_weights(jnp.asarray(w))
+        src = jnp.asarray(
+            rng.standard_normal((1, 16, 24, 2)).astype(np.float32))
+        ct = jnp.asarray(
+            rng.standard_normal(src.shape).astype(np.float32))
+        _, vjp = jax.vjp(lambda s: op.normal(s, sw), src)
+        got = np.asarray(vjp(ct)[0])
+        ref = np.asarray(op.normal(ct, sw))
+        np.testing.assert_allclose(got, ref, rtol=1e-6,
+                                   atol=1e-6 * np.abs(ref).max())
+
+    def test_jit_composes(self, rng):
+        op, _ = self._op(rng, (16, 24))
+        src = jnp.asarray(
+            rng.standard_normal((1, 16, 24, 2)).astype(np.float32))
+        got = np.asarray(jax.jit(op.normal)(src))
+        ref = np.asarray(op.normal(src))
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
