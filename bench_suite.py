@@ -109,7 +109,7 @@ def nufft_case(name, grid_shape, num_points, transform_type,
     }
 
 
-def cg_sense_case(k2=5):
+def cg_sense_case(k2=5, toeplitz=False):
     import jax
     import jax.numpy as jnp
     from tensorflow_nufft_tpu.models import mri
@@ -121,7 +121,8 @@ def cg_sense_case(k2=5):
     maps = jnp.asarray(mri.birdcage_maps(coils, grid))
     phantom = jnp.asarray(mri.shepp_logan(grid))
     density = jnp.asarray(mri.radial_density(spokes, samples))
-    op = mri.SenseNufft(pts, maps, grid, density=density)
+    op = mri.SenseNufft(pts, maps, grid, density=density,
+                        toeplitz=toeplitz)
     kspace = jax.jit(op.forward)(phantom)
 
     def make(k):
@@ -134,8 +135,9 @@ def cg_sense_case(k2=5):
         return f
 
     per = marginal_time(make, (kspace,), k2=k2)
+    suffix = "_toeplitz" if toeplitz else ""
     return {
-        "metric": "cg_sense_10iter_128_8coil_radial",
+        "metric": f"cg_sense_10iter_128_8coil_radial{suffix}",
         "value": round(per * 1e3, 2),
         "unit": "ms/recon",
     }
@@ -180,6 +182,8 @@ def _case_registry(quick: bool):
                               k2=9, points_arr=radial)
         reg["2d_t2_512_radial_b8"] = radial_case
         reg["cg_sense"] = cg_sense_case
+        reg["cg_sense_toeplitz"] = (
+            lambda: cg_sense_case(toeplitz=True))
     return reg
 
 

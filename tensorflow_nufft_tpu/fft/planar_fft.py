@@ -274,6 +274,48 @@ def amplify_pad_dft(x: jax.Array, plan,
     return jnp.stack([xr, xi], axis=-1)
 
 
+@functools.lru_cache(maxsize=64)
+def _doubled_twiddles(n: int) -> tuple:
+    """(C, S) of shape [n, 2n] with C[l, k] = cos(pi l k / n),
+    S[l, k] = sin(pi l k / n) — the DFT twiddles between an N-support
+    signal and its 2N torus (float64; cast at use)."""
+    lk = np.outer(np.arange(n), np.arange(2 * n))
+    ang = (np.pi / n) * lk
+    return np.cos(ang), np.sin(ang)
+
+
+def dft_doubled_planar(x: jax.Array, rank: int, forward: bool,
+                       precision=jax.lax.Precision.HIGHEST
+                       ) -> jax.Array:
+    """Pruned planar DFT between N-support and the 2N torus.
+
+    forward=True: [B, *N, 2] -> [B, *2N, 2], the 2N-point forward DFT
+    (sign e^{-i}) of the zero-padded input — the pad never
+    materializes (the twiddle matrices are [N, 2N]).
+    forward=False: [B, *2N, 2] -> [B, *N, 2], the UNNORMALIZED inverse
+    (sign e^{+i}) cropped to the leading N samples per axis — fold the
+    1/(2N)^rank into the spectrum being applied.
+
+    The two directions are the wings of the Toeplitz-embedded normal
+    operator (see planar.ToeplitzNormal).
+    """
+    xr, xi = x[..., 0], x[..., 1]
+    for d in range(rank):
+        axis = 1 + d
+        if forward:
+            n = xr.shape[axis]
+            c_np, s_np = _doubled_twiddles(n)
+            c = jnp.asarray(c_np, x.dtype)          # [n, 2n]
+            s = jnp.asarray(-s_np, x.dtype)
+        else:
+            n2 = xr.shape[axis]
+            c_np, s_np = _doubled_twiddles(n2 // 2)
+            c = jnp.asarray(c_np.T.copy(), x.dtype)  # [2n, n]
+            s = jnp.asarray(s_np.T.copy(), x.dtype)
+        xr, xi = _contract_planar(xr, xi, c, s, axis, precision)
+    return jnp.stack([xr, xi], axis=-1)
+
+
 def dft_planar(x: jax.Array, rank: int, fft_direction: str,
                precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     """DFT over the ``rank`` spatial axes of a planar tensor.

@@ -127,7 +127,8 @@ class SenseNufft:
                  density: Optional[jax.Array] = None,
                  tol: float = 1e-6,
                  options: Optional[Options] = None,
-                 planned: bool = True):
+                 planned: bool = True,
+                 toeplitz: bool = False):
         self.points = jnp.asarray(points)
         self.maps = jnp.asarray(maps)        # [C, *grid, 2]
         self.grid_shape = tuple(grid_shape)
@@ -136,6 +137,7 @@ class SenseNufft:
         self.options = options or Options()
         self._t2 = None
         self._slot_density = None
+        self._toeplitz = None
         if planned and self.points.ndim == 2:
             self._t2 = planar.PlannedNufft(
                 self.points, self.grid_shape, transform_type="type_2",
@@ -143,6 +145,12 @@ class SenseNufft:
             if self._t2._planned and self.density is not None:
                 # Slot-order density for the fused normal operator.
                 self._slot_density = self._t2.slot_weights(self.density)
+        if toeplitz and self.points.ndim == 2:
+            # Toeplitz-embedded normal: A^H W A as FFT-domain
+            # convolution — no spread/interp per CG iteration at all.
+            self._toeplitz = planar.ToeplitzNormal(
+                self.points, self.grid_shape, weights=self.density,
+                fft_direction="forward", tol=tol, options=self.options)
 
     def forward(self, image: jax.Array) -> jax.Array:
         """[*grid, 2] -> [C, M, 2]."""
@@ -173,11 +181,17 @@ class SenseNufft:
     def normal(self, image: jax.Array) -> jax.Array:
         """A^H W A applied to an image (the CG system operator).
 
-        On the planned TPU path this runs the fused chunk-order
-        composition (``PlannedNufft.normal``): the per-coil point
-        values never leave chunk-slot order between the interp and
-        spread kernels, skipping both point-order permutations per
-        iteration."""
+        With ``toeplitz=True`` the normal operator is the embedded
+        FFT-domain convolution (``planar.ToeplitzNormal``): no
+        spread/interp runs at all per iteration. Otherwise, on the
+        planned TPU path this runs the fused chunk-order composition
+        (``PlannedNufft.normal``): the per-coil point values never
+        leave chunk-slot order between the interp and spread kernels,
+        skipping both point-order permutations per iteration."""
+        if self._toeplitz is not None:
+            coil_images = pmul(self.maps, image[None])
+            coil_normal = self._toeplitz(coil_images)
+            return jnp.sum(pmul(pconj(self.maps), coil_normal), axis=0)
         if self._t2 is not None and self._t2._planned:
             coil_images = pmul(self.maps, image[None])
             coil_normal = self._t2.normal(coil_images,

@@ -149,3 +149,30 @@ def test_sense_planned_gradient():
     l0 = float(loss(img * 0.5))
     l1 = float(loss(img * 0.5 - 1e-3 * g / (jnp.linalg.norm(g) + 1e-30)))
     assert l1 < l0
+
+
+def test_sense_toeplitz_normal_matches_composed():
+    """SenseNufft(toeplitz=True): the embedded normal matches
+    adjoint(forward(.)) at the tolerance level, and cg_sense converges
+    with it."""
+    grid = (32, 32)
+    pts = jnp.asarray(mri.radial_trajectory(16, 64))
+    maps = jnp.asarray(mri.birdcage_maps(4, grid))
+    img = jnp.asarray(mri.shepp_logan(grid))
+    density = jnp.asarray(mri.radial_density(16, 64))
+
+    op_t = mri.SenseNufft(pts, maps, grid, density=density,
+                          planned=False, toeplitz=True)
+    op_u = mri.SenseNufft(pts, maps, grid, density=density,
+                          planned=False)
+    assert op_t._toeplitz is not None
+
+    ref = np.asarray(op_u.normal(img))
+    got = np.asarray(op_t.normal(img))
+    np.testing.assert_allclose(got, ref, atol=1e-3 * np.abs(ref).max())
+
+    ksp = op_u.forward(img)
+    rec_t = np.asarray(mri.cg_sense(ksp, op_t, num_iters=8))
+    rec_u = np.asarray(mri.cg_sense(ksp, op_u, num_iters=8))
+    np.testing.assert_allclose(rec_t, rec_u,
+                               atol=2e-3 * np.abs(rec_u).max())

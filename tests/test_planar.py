@@ -182,3 +182,74 @@ def test_planar_validation(rng):
     with pytest.raises(TypeError, match="points"):
         tfft.planar.nufft(np.zeros((8, 8, 2), np.float32),
                           points.astype(np.float64))
+
+
+class TestToeplitzNormal:
+    """planar.ToeplitzNormal: the FFT-domain embedded normal operator
+    matches the composed forward/weights/adjoint NUFFT pair at the
+    tolerance level, for ranks 1-3 and both A directions."""
+
+    @pytest.mark.parametrize("grid", [(32,), (16, 24), (12, 16, 8)])
+    def test_matches_composed(self, rng, grid):
+        from tensorflow_nufft_tpu.planar import ToeplitzNormal
+        rank = len(grid)
+        m = 300
+        pts = jnp.asarray(
+            rng.uniform(-np.pi, np.pi, (m, rank)).astype(np.float32))
+        w = jnp.asarray(rng.uniform(0.5, 2.0, (m,)).astype(np.float32))
+        op = ToeplitzNormal(pts, grid, weights=w)
+        src = jnp.asarray(rng.standard_normal(
+            (2,) + grid + (2,)).astype(np.float32))
+        fwd = tfft.planar.nufft(src, pts, transform_type="type_2")
+        ref = np.asarray(tfft.planar.nufft(
+            fwd * w[None, :, None], pts, grid_shape=grid,
+            transform_type="type_1", fft_direction="backward"))
+        got = np.asarray(op(src))
+        np.testing.assert_allclose(
+            got, ref, atol=5e-4 * np.abs(ref).max())
+
+    def test_backward_direction(self, rng):
+        from tensorflow_nufft_tpu.planar import ToeplitzNormal
+        grid = (16, 12)
+        m = 200
+        pts = jnp.asarray(
+            rng.uniform(-np.pi, np.pi, (m, 2)).astype(np.float32))
+        op = ToeplitzNormal(pts, grid, fft_direction="backward")
+        src = jnp.asarray(rng.standard_normal(
+            (1,) + grid + (2,)).astype(np.float32))
+        fwd = tfft.planar.nufft(src, pts, transform_type="type_2",
+                                fft_direction="backward")
+        ref = np.asarray(tfft.planar.nufft(
+            fwd, pts, grid_shape=grid, transform_type="type_1",
+            fft_direction="forward"))
+        got = np.asarray(op(src))
+        np.testing.assert_allclose(
+            got, ref, atol=5e-4 * np.abs(ref).max())
+
+    def test_vjp_is_self(self, rng):
+        from tensorflow_nufft_tpu.planar import ToeplitzNormal
+        grid = (16, 12)
+        pts = jnp.asarray(
+            rng.uniform(-np.pi, np.pi, (150, 2)).astype(np.float32))
+        op = ToeplitzNormal(pts, grid)
+        src = jnp.asarray(rng.standard_normal(
+            (1,) + grid + (2,)).astype(np.float32))
+        ct = jnp.asarray(rng.standard_normal(src.shape).astype(
+            np.float32))
+        _, vjp = jax.vjp(op, src)
+        np.testing.assert_array_equal(np.asarray(vjp(ct)[0]),
+                                      np.asarray(op(ct)))
+
+    def test_errors(self, rng):
+        from tensorflow_nufft_tpu.planar import ToeplitzNormal
+        pts = jnp.asarray(
+            rng.uniform(-np.pi, np.pi, (50, 2)).astype(np.float32))
+        with pytest.raises(ValueError, match="single"):
+            ToeplitzNormal(pts[None], (16, 16))
+        with pytest.raises(ValueError, match="rank-2"):
+            ToeplitzNormal(pts, (16,))
+        with pytest.raises(ValueError, match="weights"):
+            ToeplitzNormal(pts, (16, 16), weights=jnp.ones((7,)))
+        op = ToeplitzNormal(pts, (16, 16))
+        with pytest.raises(ValueError, match="planar"):
+            op(jnp.zeros((16, 16, 2)))
