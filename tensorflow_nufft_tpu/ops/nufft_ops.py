@@ -250,6 +250,7 @@ def nufft(source,
         spread_only=False,
         upsampling_factor=options.upsampling_factor,
         backend=options.backend,
+        kernel_evaluation_method=options.kernel_evaluation_method,
     )
     warn_if_tol_clamped(tol, spec.dtype_name, options.show_warnings)
     log_plan_summary(spec, options.verbosity)
@@ -372,6 +373,7 @@ def _spread_or_interp(transform_type, source, points, grid_shape, tol,
         spread_only=True,
         upsampling_factor=None,
         backend=options.backend,
+        kernel_evaluation_method=options.kernel_evaluation_method,
     )
     warn_if_tol_clamped(tol, spec.dtype_name, options.show_warnings)
     log_plan_summary(spec, options.verbosity)

@@ -144,6 +144,16 @@ class Options(pydantic.BaseModel):
             to stderr. Mirrors the reference's verbosity internal
             option (nufft_options.h:98-100); like the reference's, it
             is internal-only and not serialized to proto.
+        kernel_evaluation_method: One of 'auto', 'direct', 'horner'.
+            How the ES spreading kernel is evaluated. 'direct' is the
+            exact ``exp(beta*sqrt(1-c*z^2))`` form; 'horner' a
+            plan-time-fitted Chebyshev/power polynomial (float32 plans
+            only — more accurate than direct f32 eval and
+            transcendental-free). 'auto' (default) picks 'horner' for
+            float32 plans and 'direct' for float64. Mirrors the
+            reference's KernelEvaluationMethod internal option
+            (nufft_options.h:62-70, dispatched at
+            nufft_plan.cc:1291-1307); internal-only, not serialized.
     """
     model_config = pydantic.ConfigDict(validate_assignment=True)
 
@@ -156,12 +166,22 @@ class Options(pydantic.BaseModel):
     upsampling_factor: Optional[float] = None
     show_warnings: bool = True
     verbosity: int = 0
+    kernel_evaluation_method: str = "auto"
 
     @pydantic.field_validator("verbosity")
     @classmethod
     def _check_verbosity(cls, v):
         if v < 0:
             raise ValueError(f"verbosity must be >= 0, got {v}")
+        return v
+
+    @pydantic.field_validator("kernel_evaluation_method")
+    @classmethod
+    def _check_kernel_eval(cls, v):
+        if v not in ("auto", "direct", "horner"):
+            raise ValueError(
+                f"kernel_evaluation_method must be one of 'auto', "
+                f"'direct', 'horner', got {v!r}")
         return v
 
     @pydantic.field_validator("max_batch_size")

@@ -46,6 +46,7 @@ def _make_spec(transform_type, fft_direction, rank, grid_shape, dtype,
         spread_only=False,
         upsampling_factor=options.upsampling_factor,
         backend=options.backend,
+        kernel_evaluation_method=options.kernel_evaluation_method,
     )
 
 
@@ -55,7 +56,11 @@ def _vary_over(x, axes):
     inputs as device-local data along those axes)."""
     have = jax.typeof(x).vma
     missing = tuple(a for a in axes if a not in have)
-    return jax.lax.pvary(x, missing) if missing else x
+    if not missing:
+        return x
+    if hasattr(jax.lax, "pcast"):       # pvary deprecated in newer jax
+        return jax.lax.pcast(x, missing, to="varying")
+    return jax.lax.pvary(x, missing)
 
 
 def sharded_nufft(source: jax.Array,

@@ -204,6 +204,7 @@ class PlanSpec:
     spread_only: bool = False
     upsampling_factor: Optional[float] = None
     backend: str = "auto"          # 'auto' | 'xla' | 'pallas'
+    kernel_evaluation_method: str = "auto"  # 'auto' | 'direct' | 'horner'
 
 
 @dataclasses.dataclass(frozen=True)
@@ -371,8 +372,20 @@ def make_plan(spec: PlanSpec) -> NufftPlan:
         kernel_fseries_1d(fine_shape[d], width, beta) for d in range(rank))
     kernel_scale = calculate_scale_factor(rank, width, beta) \
         if spec.spread_only else 1.0
-    horner = fit_horner_coeffs(width, beta, tol) \
-        if real_dt == np.dtype(np.float32) else None
+    # Kernel evaluation method (reference: KernelEvaluationMethod,
+    # nufft_options.h:62-70): 'auto' fits a Horner polynomial for f32
+    # plans (more accurate than direct f32 exp/sqrt) and uses direct
+    # evaluation for f64 (already exact enough); 'direct'/'horner'
+    # force one. Everything downstream keys off ``plan.horner is None``.
+    kev = spec.kernel_evaluation_method
+    if kev == "horner" and real_dt != np.dtype(np.float32):
+        raise ValueError(
+            "kernel_evaluation_method='horner' requires a float32/"
+            "complex64 transform; float64 plans evaluate the kernel "
+            "directly (the fitted polynomial targets f32 accuracy).")
+    use_horner = (kev == "horner"
+                  or (kev == "auto" and real_dt == np.dtype(np.float32)))
+    horner = fit_horner_coeffs(width, beta, tol) if use_horner else None
 
     return NufftPlan(
         spec=spec,

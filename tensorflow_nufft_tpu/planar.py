@@ -146,6 +146,7 @@ def nufft(source,
         spread_only=False,
         upsampling_factor=options.upsampling_factor,
         backend=options.backend,
+        kernel_evaluation_method=options.kernel_evaluation_method,
     )
     warn_if_tol_clamped(tol, spec.dtype_name, options.show_warnings)
     log_plan_summary(spec, options.verbosity)
@@ -208,6 +209,7 @@ def _spread_or_interp(transform_type, source, points, grid_shape, tol,
         spread_only=True,
         upsampling_factor=None,
         backend=options.backend,
+        kernel_evaluation_method=options.kernel_evaluation_method,
     )
     warn_if_tol_clamped(tol, spec.dtype_name, options.show_warnings)
     log_plan_summary(spec, options.verbosity)
@@ -388,7 +390,8 @@ class PlannedNufft:
             dtype_name=_dtype_name(points.dtype), tol=float(tol),
             points_range=int(options.points_range), spread_only=False,
             upsampling_factor=options.upsampling_factor,
-            backend=options.backend)
+            backend=options.backend,
+            kernel_evaluation_method=options.kernel_evaluation_method)
         self.spec = spec
         self.plan = make_plan(spec)
         # Plan levels: 'mats' precomputes binning + per-chunk ES kernel

@@ -101,3 +101,38 @@ def test_auto_inner_batch_cap():
                     1e-3, 0)
     cap = auto_max_batch_size(spec)
     assert 1 <= cap < 100
+
+
+def test_kernel_evaluation_method(rng):
+    """'direct'/'horner' select the kernel evaluator; both meet the
+    accuracy gate, 'auto' == 'horner' for float32 plans (reference:
+    KernelEvaluationMethod, nufft_options.h:62-70)."""
+    m, n = 400, 32
+    pts = rng.uniform(-np.pi, np.pi, (m, 2)).astype(np.float32)
+    src = (rng.standard_normal(m)
+           + 1j * rng.standard_normal(m)).astype(np.complex64)
+    oracle = np.asarray(tfft.nudft(
+        src, pts, grid_shape=(n, n), transform_type="type_1"))
+    outs = {}
+    for kev in ("auto", "direct", "horner"):
+        o = tfft.Options(kernel_evaluation_method=kev)
+        outs[kev] = np.asarray(tfft.nufft(
+            src, pts, grid_shape=(n, n), transform_type="type_1",
+            tol=1e-6, options=o))
+        err = np.abs(outs[kev] - oracle).max() / np.abs(oracle).max()
+        assert err < 1e-3, (kev, err)
+    assert np.array_equal(outs["auto"], outs["horner"])
+    assert not np.array_equal(outs["direct"], outs["horner"])
+
+    with pytest.raises(ValueError, match="kernel_evaluation_method"):
+        tfft.Options(kernel_evaluation_method="bogus")
+
+
+def test_kernel_evaluation_method_horner_f64_raises(rng):
+    pts = rng.uniform(-np.pi, np.pi, (16, 1)).astype(np.float64)
+    src = (rng.standard_normal(16)
+           + 1j * rng.standard_normal(16)).astype(np.complex128)
+    o = tfft.Options(kernel_evaluation_method="horner")
+    with pytest.raises(ValueError, match="horner"):
+        tfft.nufft(src, pts, grid_shape=(16,), transform_type="type_1",
+                   tol=1e-9, options=o)
