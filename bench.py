@@ -139,7 +139,15 @@ def main():
         def f(pts):
             del pts
             def body(i, acc):
-                o = op(s_dev[None] * (1.0 + 1e-6 * i))
+                # Nonlinear perturbation + output barrier: prevents XLA
+                # from exploiting the transform's linearity or fusing
+                # across iterations. Measured on v5e this is also the
+                # FASTER pattern — the linear `s*(1+eps*i)` form without
+                # a barrier schedules ~4x slower at 200k pts (see
+                # BENCH_NOTES "honest timing").
+                s = s_dev[None]
+                sp = s + 1e-3 * jnp.sin(s * i.astype(jnp.float32))
+                o = jax.lax.optimization_barrier(op(sp))
                 return acc + o[0, 0, 0, 0]
             return jax.lax.fori_loop(0, k, body, 0.0)
         return jax.jit(f)

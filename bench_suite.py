@@ -88,12 +88,17 @@ def nufft_case(name, grid_shape, num_points, transform_type,
     def make(k):
         def f(p):
             def body(i, acc):
+                # Nonlinear perturbation + output barrier (see bench.py
+                # and BENCH_NOTES "honest timing").
+                def perturb(x):
+                    return x + 1e-3 * jnp.sin(x * i.astype(jnp.float32))
                 if op is not None:
-                    out = op(src_b * (1.0 + 1e-6 * i))
+                    out = op(perturb(src_b))
                 else:
                     out = tfft.planar.nufft(
-                        src * (1.0 + 1e-6 * i), p,
+                        perturb(src), p,
                         transform_type=transform_type, **kwargs)
+                out = jax.lax.optimization_barrier(out)
                 return acc + out.ravel()[0]
             return jax.lax.fori_loop(0, k, body, 0.0)
         return f
@@ -128,8 +133,10 @@ def cg_sense_case(k2=5, toeplitz=False):
     def make(k):
         def f(ksp):
             def body(i, acc):
-                rec = mri.cg_sense(ksp * (1.0 + 1e-6 * i), op,
+                kp = ksp + 1e-3 * jnp.sin(ksp * i.astype(jnp.float32))
+                rec = mri.cg_sense(kp, op,
                                    num_iters=10)
+                rec = jax.lax.optimization_barrier(rec)
                 return acc + rec[0, 0, 0]
             return jax.lax.fori_loop(0, k, body, 0.0)
         return f
