@@ -14,6 +14,8 @@ Typical usage::
 
 from tensorflow_nufft_tpu.__about__ import __version__
 from tensorflow_nufft_tpu.ops.nufft_ops import nufft, interp, spread, nudft
+from tensorflow_nufft_tpu.ops.type3 import (
+    Type3Plan, nudft_type3, nufft_type3)
 from tensorflow_nufft_tpu import planar
 from tensorflow_nufft_tpu import parallel
 from tensorflow_nufft_tpu.options.options import (
@@ -27,6 +29,9 @@ from tensorflow_nufft_tpu.options.options import (
 __all__ = [
     "planar",
     "nufft",
+    "nufft_type3",
+    "nudft_type3",
+    "Type3Plan",
     "interp",
     "spread",
     "nudft",

@@ -37,10 +37,14 @@ _COMPLEX_DTYPES = (np.dtype(np.complex64), np.dtype(np.complex128))
 
 def _validate_enum(value, valid, name):
     if name == "transform_type" and value == "type_3":
-        # Parity with the reference, which enumerates type-3 but does not
-        # implement it (cc/kernels/nufft_plan.cc:175-177).
+        # The reference enumerates type-3 but does not implement it
+        # (cc/kernels/nufft_plan.cc:175-177). This framework does — via a
+        # separate entry point, since type-3 takes two point sets rather
+        # than a grid shape.
         raise NotImplementedError(
-            "type-3 transforms are not implemented")
+            "type-3 transforms use a different signature; call "
+            "tensorflow_nufft_tpu.nufft_type3(source, points, "
+            "target_points, ...) instead")
     if value not in valid:
         raise ValueError(
             f"Invalid {name}: {value!r}. Must be one of {sorted(valid)}.")

@@ -1,0 +1,196 @@
+"""Type-3 NUFFT tests against the dense ``nudft_type3`` oracle.
+
+The reference enumerates type-3 but never implements it
+(cc/kernels/nufft_plan.cc:175-177), so there is no reference test to
+mirror; the strategy follows the repo's type-1/2 oracle-sweep pattern
+(tests/test_nufft.py) plus type-3-specific cases: arbitrary coordinate
+ranges (no [-pi, pi] restriction), degenerate extents, plan reuse and
+tolerance conformance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tensorflow_nufft_tpu as tfft
+from tests.conftest import random_complex
+
+
+def _rel_err(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    return np.max(np.abs(a - b)) / (np.max(np.abs(b)) or 1.0)
+
+
+def _random_sets(rng, rank, m, k, dtype, x_span=(-3.0, 7.0),
+                 t_span=(-20.0, 50.0)):
+    x = rng.uniform(*x_span, (m, rank)).astype(dtype)
+    t = rng.uniform(*t_span, (k, rank)).astype(dtype)
+    return x, t
+
+
+@pytest.mark.parametrize("rank", [1, 2, 3])
+@pytest.mark.parametrize("fft_direction", ["forward", "backward"])
+def test_type3_accuracy(rng, rank, fft_direction):
+    tol = 1e-6
+    x, t = _random_sets(rng, rank, 300, 250, np.float64)
+    c = random_complex(rng, (300,), np.complex128)
+    got = tfft.nufft_type3(c, x, t, fft_direction=fft_direction, tol=tol)
+    want = tfft.nudft_type3(c, x, t, fft_direction=fft_direction)
+    assert got.shape == (250,)
+    assert _rel_err(got, want) <= 10 * tol
+
+
+@pytest.mark.parametrize("tol", [1e-2, 1e-4, 1e-6, 1e-9, 1e-12])
+def test_type3_tolerance_sweep(rng, tol):
+    x, t = _random_sets(rng, 2, 400, 300, np.float64)
+    c = random_complex(rng, (400,), np.complex128)
+    got = tfft.nufft_type3(c, x, t, tol=tol)
+    want = tfft.nudft_type3(c, x, t)
+    assert _rel_err(got, want) <= 10 * tol
+
+
+def test_type3_float32(rng):
+    x, t = _random_sets(rng, 2, 300, 200, np.float32)
+    c = random_complex(rng, (300,), np.complex64)
+    got = tfft.nufft_type3(c, x, t, tol=1e-5)
+    want = tfft.nudft_type3(
+        c.astype(np.complex128), x.astype(np.float64),
+        t.astype(np.float64))
+    assert got.dtype == np.complex64
+    # f32 floor: kernel evaluation + phase rounding.
+    assert _rel_err(got, want) <= 1e-4
+
+
+def test_type3_batched_strengths(rng):
+    x, t = _random_sets(rng, 2, 200, 150, np.float64)
+    c = random_complex(rng, (2, 3, 200), np.complex128)
+    got = tfft.nufft_type3(c, x, t, tol=1e-8)
+    want = tfft.nudft_type3(c, x, t)
+    assert got.shape == (2, 3, 150)
+    assert _rel_err(got, want) <= 1e-7
+
+
+def test_type3_plan_reuse_and_jit(rng):
+    x, t = _random_sets(rng, 1, 150, 120, np.float64)
+    plan = tfft.Type3Plan(x, t, tol=1e-9)
+    apply_jit = jax.jit(plan)
+    for seed in (0, 1):
+        c = random_complex(np.random.default_rng(seed), (150,),
+                           np.complex128)
+        want = tfft.nudft_type3(c, x, t)
+        assert _rel_err(apply_jit(c), want) <= 1e-8
+        assert _rel_err(plan(c), want) <= 1e-8
+
+
+def test_type3_linearity_in_strengths(rng):
+    x, t = _random_sets(rng, 2, 100, 80, np.float64)
+    plan = tfft.Type3Plan(x, t, tol=1e-10)
+    c1 = random_complex(rng, (100,), np.complex128)
+    c2 = random_complex(rng, (100,), np.complex128)
+    lhs = plan(2.5 * c1 + 1j * c2)
+    rhs = 2.5 * plan(c1) + 1j * plan(c2)
+    np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_type3_gradient_wrt_source(rng):
+    x, t = _random_sets(rng, 1, 60, 50, np.float64)
+    plan = tfft.Type3Plan(x, t, tol=1e-10)
+    ct = random_complex(rng, (50,), np.complex128)
+    c = random_complex(rng, (60,), np.complex128)
+
+    def loss(src, op):
+        return jnp.real(jnp.vdot(ct, op(src)))
+
+    g_fast = jax.grad(loss)(c, plan)
+    g_ref = jax.grad(loss)(
+        c, lambda s: tfft.nudft_type3(s, x, t))
+    assert _rel_err(g_fast, g_ref) <= 1e-8
+
+
+def test_type3_degenerate_extents(rng):
+    # All source points identical (X = 0): f_k = exp(-i t_k.x0) * sum(c).
+    t = rng.uniform(-5, 5, (40, 2))
+    x = np.tile(np.array([[0.7, -1.3]]), (25, 1))
+    c = random_complex(rng, (25,), np.complex128)
+    got = tfft.nufft_type3(c, x, t, tol=1e-9)
+    want = tfft.nudft_type3(c, x, t)
+    assert _rel_err(got, want) <= 1e-8
+    # All targets identical (S = 0).
+    x2 = rng.uniform(-5, 5, (25, 2))
+    t2 = np.tile(np.array([[2.0, 3.5]]), (40, 1))
+    got2 = tfft.nufft_type3(c, x2, t2, tol=1e-9)
+    want2 = tfft.nudft_type3(c, x2, t2)
+    assert _rel_err(got2, want2) <= 1e-8
+
+
+def test_type3_far_offset_ranges(rng):
+    # Centering must handle point sets far from the origin.
+    x = rng.uniform(1000.0, 1010.0, (200, 1))
+    t = rng.uniform(-500.0, -480.0, (150, 1))
+    c = random_complex(rng, (200,), np.complex128)
+    got = tfft.nufft_type3(c, x, t, tol=1e-9)
+    want = tfft.nudft_type3(c, x, t)
+    assert _rel_err(got, want) <= 1e-8
+
+
+def test_type3_matches_type2_on_integer_modes(rng):
+    # With integer target frequencies and points in [-pi, pi), type-3
+    # reduces to (the adjoint view of) type-2's dense definition.
+    n = 16
+    x = rng.uniform(-np.pi, np.pi, (100, 1))
+    t = (np.arange(n) - n // 2).astype(np.float64)[:, None]
+    c = random_complex(rng, (100,), np.complex128)
+    got = tfft.nufft_type3(c, x, t, fft_direction="forward", tol=1e-10)
+    want = tfft.nufft(c, x, grid_shape=(n,), transform_type="type_1",
+                      fft_direction="forward", tol=1e-10)
+    assert _rel_err(got, want) <= 1e-9
+
+
+class TestType3Errors:
+    def test_traced_points_raise(self, rng):
+        x, t = _random_sets(rng, 1, 20, 20, np.float64)
+        c = random_complex(rng, (20,), np.complex128)
+
+        def f(xx):
+            return tfft.nufft_type3(c, xx, t)
+
+        with pytest.raises(ValueError, match="concrete"):
+            jax.jit(f)(x)
+
+    def test_rank_mismatch(self, rng):
+        with pytest.raises(ValueError, match="rank"):
+            tfft.Type3Plan(np.zeros((5, 2)), np.zeros((5, 3)))
+
+    def test_bad_shapes(self):
+        with pytest.raises(ValueError, match="shape"):
+            tfft.Type3Plan(np.zeros((5,)), np.zeros((5, 1)))
+
+    def test_dtype_mismatch(self):
+        with pytest.raises(TypeError, match="dtype"):
+            tfft.Type3Plan(np.zeros((5, 1), np.float32),
+                           np.zeros((5, 1), np.float64))
+
+    def test_source_dtype_checked(self, rng):
+        x, t = _random_sets(rng, 1, 10, 10, np.float64)
+        plan = tfft.Type3Plan(x, t)
+        with pytest.raises(TypeError, match="complex128"):
+            plan(np.zeros((10,), np.complex64))
+
+    def test_source_points_count(self, rng):
+        x, t = _random_sets(rng, 1, 10, 10, np.float64)
+        plan = tfft.Type3Plan(x, t)
+        with pytest.raises(ValueError, match="shape"):
+            plan(np.zeros((11,), np.complex128))
+
+    def test_nufft_type3_redirects(self, rng):
+        x = np.zeros((4, 1), np.float32)
+        c = np.zeros((4,), np.complex64)
+        with pytest.raises(NotImplementedError, match="nufft_type3"):
+            tfft.nufft(c, x, grid_shape=(8,), transform_type="type_3")
+
+    def test_bad_direction(self):
+        with pytest.raises(ValueError, match="fft_direction"):
+            tfft.Type3Plan(np.zeros((5, 1)), np.zeros((5, 1)),
+                           fft_direction="sideways")
