@@ -74,6 +74,116 @@ def kernel_ft(omega: np.ndarray, width: int, beta: float) -> np.ndarray:
     return 2.0 * (np.cos(np.outer(np.asarray(omega, np.float64), z)) @ f)
 
 
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class Type3Statics:
+    """Point-dependent statics of a type-3 transform, float64.
+
+    Shared between the complex (``Type3Plan``) and planar
+    (``planar.Type3Plan``) pipelines: the geometry and phases are
+    identical; only the strength pipeline differs.
+    """
+    rank: int
+    num_points: int
+    num_targets: int
+    fine_shape: Tuple[int, ...]
+    width: int
+    beta: float
+    xi: np.ndarray          # [M, rank] spread coordinates in (-pi, pi)
+    theta: np.ndarray       # [K, rank] inner type-2 points
+    prephase: np.ndarray    # [M] complex128
+    postphase: np.ndarray   # [K] complex128 (incl. kernel-FT deconv)
+
+
+def compute_type3_statics(x64: np.ndarray, t64: np.ndarray,
+                          fft_direction: str,
+                          tol: float) -> Type3Statics:
+    """Computes fine-grid geometry, rescaled coordinates and phases.
+
+    See the module docstring for the derivation; formulas follow the
+    standard t3 grid/rescale selection (sigma fixed at 2.0)."""
+    rank = int(x64.shape[1])
+    sigma = 2.0
+    width = select_kernel_width(max(tol, 1e-16), sigma)
+    beta = kernel_beta(width, sigma)
+
+    x_c = (x64.max(0) + x64.min(0)) / 2.0
+    t_c = (t64.max(0) + t64.min(0)) / 2.0
+    half_x = np.abs(x64 - x_c).max(0)
+    half_t = np.abs(t64 - t_c).max(0)
+    # Degenerate (zero-extent) dimensions: substitute safe widths so
+    # nf stays small and gamma finite; values are still exact because
+    # the centered coordinate is identically zero along such dims.
+    tiny = 1e-30
+    x_safe = np.where(
+        half_x <= tiny,
+        np.where(half_t <= tiny, 1.0,
+                 np.maximum(1.0 / np.maximum(half_t, tiny), 1.0)),
+        half_x)
+    t_safe = np.where(half_x <= tiny,
+                      np.where(half_t <= tiny, 1.0, half_t),
+                      np.maximum(half_t, 1.0 / x_safe))
+
+    fine_shape = []
+    gamma = np.empty(rank, np.float64)
+    for d in range(rank):
+        n = int(2.0 * sigma * t_safe[d] * x_safe[d] / math.pi + width + 1)
+        n = max(n, 2 * width)
+        n = next_smooth_integer(n)
+        fine_shape.append(n)
+        gamma[d] = n / (2.0 * sigma * t_safe[d])
+    fine_shape = tuple(fine_shape)
+    if int(np.prod(fine_shape)) > MAX_ARRAY_SIZE:
+        raise ValueError(
+            f"type-3 fine grid is too big: {fine_shape} "
+            f"({int(np.prod(fine_shape))} elements > {MAX_ARRAY_SIZE}). "
+            "The grid scales with the product of the point and frequency "
+            "extents per dimension.")
+    h = 2.0 * math.pi / np.asarray(fine_shape, np.float64)
+    sign = -1.0 if fft_direction == "forward" else 1.0
+
+    xi = (x64 - x_c) / gamma                       # [M, rank]
+    theta = (t64 - t_c) * gamma * h                # [K, rank]
+    prephase = np.exp(sign * 1j * ((x64 - x_c) @ t_c))
+    postphase = np.exp(sign * 1j * (t64 @ x_c))
+    for d in range(rank):
+        postphase = postphase / kernel_ft(theta[:, d], width, beta)
+    return Type3Statics(
+        rank=rank, num_points=int(x64.shape[0]),
+        num_targets=int(t64.shape[0]), fine_shape=fine_shape,
+        width=width, beta=beta, xi=xi, theta=theta,
+        prephase=prephase, postphase=postphase)
+
+
+def validate_type3_point_sets(points, target_points,
+                              allowed_dtypes=(np.float32, np.float64)):
+    """Shared validation: returns (x, t) as concrete numpy arrays."""
+    x = _concrete(points, "points")
+    t = _concrete(target_points, "target_points")
+    if x.ndim != 2 or t.ndim != 2:
+        raise ValueError(
+            "type-3 points and target_points must have shape "
+            f"[M, rank] / [K, rank]; got {x.shape} and {t.shape}. "
+            "(Batch dims are supported on the strengths only.)")
+    if x.shape[1] != t.shape[1]:
+        raise ValueError(
+            f"points and target_points disagree on rank: "
+            f"{x.shape[1]} vs {t.shape[1]}.")
+    if x.shape[1] not in (1, 2, 3):
+        raise ValueError(f"rank must be 1, 2 or 3, got {x.shape[1]}.")
+    if x.dtype != t.dtype:
+        raise TypeError(
+            f"points and target_points must share a dtype, got "
+            f"{x.dtype} vs {t.dtype}.")
+    if x.dtype not in [np.dtype(d) for d in allowed_dtypes]:
+        raise TypeError(
+            f"points must be one of {[np.dtype(d).name for d in allowed_dtypes]}, "
+            f"got {x.dtype}.")
+    return x, t
+
+
 def _concrete(arr, name: str) -> np.ndarray:
     try:
         return np.asarray(arr)
@@ -108,93 +218,28 @@ class Type3Plan:
             raise ValueError(
                 "type-3 transforms support only upsampling_factor=2.0 "
                 f"(got {options.upsampling_factor}).")
-        x = _concrete(points, "points")
-        t = _concrete(target_points, "target_points")
-        if x.ndim != 2 or t.ndim != 2:
-            raise ValueError(
-                "type-3 points and target_points must have shape "
-                f"[M, rank] / [K, rank]; got {x.shape} and {t.shape}. "
-                "(Batch dims are supported on the strengths only.)")
-        if x.shape[1] != t.shape[1]:
-            raise ValueError(
-                f"points and target_points disagree on rank: "
-                f"{x.shape[1]} vs {t.shape[1]}.")
-        rank = int(x.shape[1])
-        if rank not in (1, 2, 3):
-            raise ValueError(f"rank must be 1, 2 or 3, got {rank}.")
-        if x.dtype != t.dtype:
-            raise TypeError(
-                f"points and target_points must share a dtype, got "
-                f"{x.dtype} vs {t.dtype}.")
-        if x.dtype == np.float32:
-            dtype_name = "complex64"
-        elif x.dtype == np.float64:
-            dtype_name = "complex128"
-        else:
-            raise TypeError(
-                f"points must be float32 or float64, got {x.dtype}.")
+        x, t = validate_type3_point_sets(points, target_points)
+        dtype_name = ("complex64" if x.dtype == np.float32
+                      else "complex128")
+        st = compute_type3_statics(
+            np.asarray(x, np.float64), np.asarray(t, np.float64),
+            fft_direction, tol)
 
+        rank = st.rank
         self.rank = rank
-        self.num_points = int(x.shape[0])
-        self.num_targets = int(t.shape[0])
+        self.num_points = st.num_points
+        self.num_targets = st.num_targets
         self.fft_direction = fft_direction
         self.dtype = np.dtype(dtype_name)
         self._options = options
-
-        x64 = np.asarray(x, np.float64)
-        t64 = np.asarray(t, np.float64)
-        sigma = 2.0
-        width = select_kernel_width(max(tol, 1e-16), sigma)
-        beta = kernel_beta(width, sigma)
-
-        x_c = (x64.max(0) + x64.min(0)) / 2.0
-        t_c = (t64.max(0) + t64.min(0)) / 2.0
-        half_x = np.abs(x64 - x_c).max(0)
-        half_t = np.abs(t64 - t_c).max(0)
-        # Degenerate (zero-extent) dimensions: substitute safe widths so
-        # nf stays small and gamma finite; values are still exact because
-        # the centered coordinate is identically zero along such dims.
-        tiny = 1e-30
-        x_safe = np.where(
-            half_x <= tiny,
-            np.where(half_t <= tiny, 1.0,
-                     np.maximum(1.0 / np.maximum(half_t, tiny), 1.0)),
-            half_x)
-        t_safe = np.where(half_x <= tiny,
-                          np.where(half_t <= tiny, 1.0, half_t),
-                          np.maximum(half_t, 1.0 / x_safe))
-
-        fine_shape = []
-        gamma = np.empty(rank, np.float64)
-        for d in range(rank):
-            n = int(2.0 * sigma * t_safe[d] * x_safe[d] / math.pi
-                    + width + 1)
-            n = max(n, 2 * width)
-            n = next_smooth_integer(n)
-            fine_shape.append(n)
-            gamma[d] = n / (2.0 * sigma * t_safe[d])
-        self.fine_shape = tuple(fine_shape)
-        if int(np.prod(self.fine_shape)) > MAX_ARRAY_SIZE:
-            raise ValueError(
-                f"type-3 fine grid is too big: {self.fine_shape} "
-                f"({int(np.prod(self.fine_shape))} elements > "
-                f"{MAX_ARRAY_SIZE}). The grid scales with the product of "
-                "the point and frequency extents per dimension.")
-        h = 2.0 * math.pi / np.asarray(self.fine_shape, np.float64)
-        sign = -1.0 if fft_direction == "forward" else 1.0
-
-        xi = (x64 - x_c) / gamma                       # [M, rank]
-        theta = (t64 - t_c) * gamma * h                # [K, rank]
-        prephase = np.exp(sign * 1j * ((x64 - x_c) @ t_c))
-        postphase = np.exp(sign * 1j * (t64 @ x_c))
-        for d in range(rank):
-            postphase = postphase / kernel_ft(theta[:, d], width, beta)
+        self.fine_shape = st.fine_shape
+        width = st.width
 
         real_dt = np.dtype(real_dtype(self.dtype))
-        self._xi = jnp.asarray(xi.astype(real_dt))
-        self._theta = jnp.asarray(theta.astype(real_dt))
-        self._prephase = jnp.asarray(prephase.astype(self.dtype))
-        self._postphase = jnp.asarray(postphase.astype(self.dtype))
+        self._xi = jnp.asarray(st.xi.astype(real_dt))
+        self._theta = jnp.asarray(st.theta.astype(real_dt))
+        self._prephase = jnp.asarray(st.prephase.astype(self.dtype))
+        self._postphase = jnp.asarray(st.postphase.astype(self.dtype))
 
         # Outer spread: the nf grid IS the spread grid (spread-only
         # geometry: fine == grid; nf is even, >= 2w, 5-smooth by

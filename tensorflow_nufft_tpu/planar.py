@@ -708,3 +708,239 @@ class ToeplitzNormal:
                 f"ToeplitzNormal expects [B, *grid, 2] planar input "
                 f"of rank {expect}, got shape {source.shape}")
         return _toeplitz_call(source, self)
+
+
+# ---------------------------------------------------------------------------
+# Type-3 (nonuniform -> nonuniform) planar transforms.
+# ---------------------------------------------------------------------------
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _type3_call(source, op):
+    return op._apply(source)
+
+
+def _type3_fwd(source, op):
+    return _type3_call(source, op), None
+
+
+def _type3_bwd(op, _, cotangent):
+    # Planar-real transpose == complex adjoint: the type-3 adjoint swaps
+    # the point sets and flips the direction. The adjoint plan is cached.
+    return (_type3_call(cotangent, op.adjoint()),)
+
+
+_type3_call.defvjp(_type3_fwd, _type3_bwd)
+
+
+def _planar_phase_mul(values, phase):
+    """Planar complex multiply: values [..., 2] * phase [..., 2]."""
+    vr, vi = values[..., 0], values[..., 1]
+    pr, pi = phase[..., 0], phase[..., 1]
+    return jnp.stack([vr * pr - vi * pi, vr * pi + vi * pr], axis=-1)
+
+
+class Type3Plan:
+    """Planned planar type-3 NUFFT: nonuniform points -> nonuniform
+    frequencies, f_k = sum_j c_j exp(s i t_k . x_j).
+
+    The planar twin of the complex ``tensorflow_nufft_tpu.Type3Plan``
+    (see ops/type3.py for the algorithm derivation), built from the
+    TPU-planned stages: a Pallas tile-exclusive spread onto the type-3
+    fine grid (binning and kernel payloads hoisted to plan time) and a
+    planned planar type-2 at the rescaled target frequencies. The
+    reference enumerates type-3 but does not implement it
+    (cc/kernels/nufft_plan.cc:175-177).
+
+    Apply: ``op(source)`` with planar [B, M, 2] -> [B, K, 2], float32.
+    Differentiable w.r.t. the strengths (adjoint-plan custom VJP); the
+    point sets are plan statics.
+    """
+
+    def __init__(self, points, target_points,
+                 fft_direction: str = "forward", tol: float = 1e-6,
+                 options: Optional[Options] = None):
+        from tensorflow_nufft_tpu.kernels import binning
+        from tensorflow_nufft_tpu.kernels.xla_ops import (
+            fold_and_rescale_split)
+        from tensorflow_nufft_tpu.ops.type3 import (
+            compute_type3_statics, validate_type3_point_sets)
+        from tensorflow_nufft_tpu.plan.plan import make_plan
+
+        fft_direction = _validate_enum(
+            fft_direction, _VALID_FFT_DIRECTIONS, "fft_direction")
+        options = options or Options()
+        if options.upsampling_factor not in (None, 0.0, 2.0):
+            raise ValueError(
+                "type-3 transforms support only upsampling_factor=2.0 "
+                f"(got {options.upsampling_factor}).")
+        x, t = validate_type3_point_sets(points, target_points,
+                                         allowed_dtypes=(np.float32,))
+        st = compute_type3_statics(
+            np.asarray(x, np.float64), np.asarray(t, np.float64),
+            fft_direction, tol)
+        self._x, self._t = x, t
+        self.rank = st.rank
+        self.num_points = st.num_points
+        self.num_targets = st.num_targets
+        self.fine_shape = st.fine_shape
+        self.fft_direction = fft_direction
+        self.tol = float(tol)
+        self.options = options
+
+        self._prephase = jnp.asarray(
+            np.stack([st.prephase.real, st.prephase.imag],
+                     axis=-1).astype(np.float32))          # [M, 2]
+        self._postphase = jnp.asarray(
+            np.stack([st.postphase.real, st.postphase.imag],
+                     axis=-1).astype(np.float32))          # [K, 2]
+
+        # Outer spread: raw ES-kernel spread onto the type-3 fine grid
+        # (spread-only geometry; kernel_scale NOT applied — the exact
+        # kernel-FT deconvolution lives in the postphase).
+        self._spread_spec = PlanSpec(
+            transform_type="type_1", fft_direction=fft_direction,
+            rank=self.rank, grid_shape=self.fine_shape,
+            dtype_name="complex64", tol=self.tol, points_range=0,
+            spread_only=True, backend=options.backend,
+            kernel_evaluation_method=options.kernel_evaluation_method)
+        self._spread_plan = make_plan(self._spread_spec)
+        xi32 = jnp.asarray(st.xi.astype(np.float32))
+        self._points_resc = jax.tree.map(
+            jnp.asarray,
+            fold_and_rescale_split(xi32, self.fine_shape, 0))
+
+        # Plan the spread binning/payload when the Pallas path serves
+        # this geometry (mirrors PlannedNufft's level selection;
+        # backend='pallas' forces it — interpret mode off-TPU).
+        self._spread_level = "none"
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except RuntimeError:
+            on_tpu = False
+        from tensorflow_nufft_tpu.kernels import pallas_spread as _ps
+        if (options.backend != "xla"
+                and (on_tpu or options.backend == "pallas")
+                and _ps.supports(self._spread_plan)):
+            geom = binning.choose_geometry(
+                self.fine_shape, self._spread_plan.width, self.num_points)
+            if binning.ranking_is_exact(geom):
+                from tensorflow_nufft_tpu.kernels.pallas_spread import (
+                    MATS_BYTES_BUDGET, mats_payload_bytes)
+                self.geom = geom
+                self._spread_level = (
+                    "mats" if (binning.mats_supported(geom)
+                               and mats_payload_bytes(geom)
+                               <= MATS_BYTES_BUDGET)
+                    else "binned")
+        if self._spread_level != "none":
+            @jax.jit
+            def _prep(pr):
+                binned = binning.bin_points(pr, self.geom)
+                if self._spread_level == "mats":
+                    aux = binning.build_kernel_matrix_payload(
+                        binned, self.geom, self._spread_plan)
+                else:
+                    aux = binning.build_coords_payload(binned, self.geom)
+                return binned, aux
+            binned, aux = _prep(self._points_resc)
+            self.binned = jax.tree.map(jnp.asarray, binned)
+            if self._spread_level == "mats":
+                self.mats = jax.tree.map(jnp.asarray, aux)
+                self.coords = None
+            else:
+                self.mats = None
+                self.coords = jnp.asarray(aux)
+
+        # Inner planned type-2 on the fine grid at the rescaled targets.
+        self._inner_t2 = PlannedNufft(
+            jnp.asarray(st.theta.astype(np.float32)), self.fine_shape,
+            transform_type="type_2", fft_direction=fft_direction,
+            tol=self.tol, options=options)
+        self._adjoint = None
+
+    def adjoint(self) -> "Type3Plan":
+        """The adjoint type-3 plan: swapped point sets, flipped
+        direction (maps values [B, K, 2] back to strengths [B, M, 2])."""
+        if self._adjoint is None:
+            adj = Type3Plan(
+                self._t, self._x,
+                fft_direction=("backward"
+                               if self.fft_direction == "forward"
+                               else "forward"),
+                tol=self.tol, options=self.options)
+            adj._adjoint = self
+            self._adjoint = adj
+        return self._adjoint
+
+    def _apply(self, source):
+        from tensorflow_nufft_tpu.kernels import dispatch
+        from tensorflow_nufft_tpu.utils import profiling as prof
+        batch = source.shape[0]
+        src = _planar_phase_mul(source.astype(jnp.float32),
+                                self._prephase)
+        cm = jnp.moveaxis(src, -1, 1).reshape(2 * batch, self.num_points)
+        with prof.scope("nufft3.spread"):
+            if self._spread_level != "none":
+                from tensorflow_nufft_tpu.kernels.pallas_spread import (
+                    overlap_add, spread_pallas_tiles)
+                tiles, _ = spread_pallas_tiles(
+                    cm, self._points_resc, self._spread_plan,
+                    binned=self.binned, mats=self.mats,
+                    coords=self.coords)
+                fine = overlap_add(tiles, self.geom)
+            else:
+                fine = dispatch.spread(cm, self._points_resc,
+                                       self._spread_plan)
+        grid = jnp.moveaxis(
+            fine.reshape((batch, 2) + self.fine_shape), 1, -1)
+        with prof.scope("nufft3.inner_t2"):
+            vals = self._inner_t2(grid)            # [B, K, 2]
+        return _planar_phase_mul(vals, self._postphase)
+
+    def __call__(self, source):
+        """Applies the transform: planar [B, M, 2] -> [B, K, 2]."""
+        source = jnp.asarray(source)
+        if source.dtype != np.float32:
+            raise TypeError(
+                f"planar type-3 is float32-only, got {source.dtype}.")
+        if (source.ndim != 3 or source.shape[-1] != 2
+                or source.shape[1] != self.num_points):
+            raise ValueError(
+                f"planned planar type-3 expects a source of shape "
+                f"[B, {self.num_points}, 2]; got {source.shape}")
+        return _type3_call(source, self)
+
+
+def nufft_type3(source, points, target_points,
+                fft_direction: str = "forward", tol: float = 1e-6,
+                options: Optional[Options] = None):
+    """Planar type-3 NUFFT (one-shot). See ``Type3Plan``; planar twin of
+    the top-level ``nufft_type3``."""
+    return Type3Plan(points, target_points, fft_direction, tol,
+                     options)(source)
+
+
+def nudft_type3(source, points, target_points,
+                fft_direction: str = "forward"):
+    """Dense planar type-3 oracle: O(M*K); testing only.
+
+    source [..., M, 2], points [M, rank], target_points [K, rank]
+    -> [..., K, 2].
+    """
+    fft_direction = _validate_enum(
+        fft_direction, _VALID_FFT_DIRECTIONS, "fft_direction")
+    source = jnp.asarray(source)
+    points = jnp.asarray(points)
+    target_points = jnp.asarray(target_points)
+    sign = -1.0 if fft_direction == "forward" else 1.0
+    hi = jax.lax.Precision.HIGHEST
+    phase = jnp.matmul(target_points, points.T, precision=hi)  # [K, M]
+    cos = jnp.cos(phase)
+    sin = sign * jnp.sin(phase)
+    sr, si = source[..., 0], source[..., 1]
+    yr = (jnp.einsum("...m,km->...k", sr, cos, precision=hi)
+          - jnp.einsum("...m,km->...k", si, sin, precision=hi))
+    yi = (jnp.einsum("...m,km->...k", sr, sin, precision=hi)
+          + jnp.einsum("...m,km->...k", si, cos, precision=hi))
+    return jnp.stack([yr, yi], axis=-1)

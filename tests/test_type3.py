@@ -194,3 +194,107 @@ class TestType3Errors:
         with pytest.raises(ValueError, match="fft_direction"):
             tfft.Type3Plan(np.zeros((5, 1)), np.zeros((5, 1)),
                            fft_direction="sideways")
+
+
+# ---------------------------------------------------------------------------
+# Planar (TPU-native layout) type-3.
+# ---------------------------------------------------------------------------
+
+
+from tensorflow_nufft_tpu.planar import from_planar, to_planar
+
+
+def test_planar_type3_accuracy(rng):
+    x, t = _random_sets(rng, 2, 300, 250, np.float32)
+    c = random_complex(rng, (300,), np.complex64)
+    got = tfft.planar.nufft_type3(to_planar(c)[None], x, t, tol=1e-5)
+    want = tfft.nudft_type3(c.astype(np.complex128),
+                            x.astype(np.float64), t.astype(np.float64))
+    assert got.shape == (1, 250, 2)
+    assert _rel_err(from_planar(got[0]), want) <= 1e-4
+
+
+@pytest.mark.parametrize("rank", [1, 3])
+def test_planar_type3_ranks(rng, rank):
+    x, t = _random_sets(rng, rank, 200, 150, np.float32)
+    c = random_complex(rng, (2, 200), np.complex64)
+    plan = tfft.planar.Type3Plan(x, t, fft_direction="backward",
+                                 tol=1e-5)
+    got = plan(to_planar(c))
+    want = tfft.nudft_type3(c.astype(np.complex128),
+                            x.astype(np.float64), t.astype(np.float64),
+                            fft_direction="backward")
+    assert _rel_err(from_planar(got), want) <= 1e-4
+
+
+def test_planar_type3_matches_complex_path(rng):
+    x, t = _random_sets(rng, 2, 150, 120, np.float32)
+    c = random_complex(rng, (150,), np.complex64)
+    got_p = tfft.planar.nufft_type3(to_planar(c)[None], x, t, tol=1e-5)
+    got_c = tfft.nufft_type3(c, x, t, tol=1e-5)
+    assert _rel_err(from_planar(got_p[0]), np.asarray(got_c)) <= 2e-5
+
+
+def test_planar_type3_adjoint_consistency(rng):
+    # <A c, f> == <c, A^H f> (complex inner products via planar parts).
+    x, t = _random_sets(rng, 2, 100, 80, np.float32)
+    plan = tfft.planar.Type3Plan(x, t, tol=1e-6)
+    c = random_complex(rng, (100,), np.complex64)
+    f = random_complex(rng, (80,), np.complex64)
+    ac = from_planar(plan(to_planar(c)[None])[0])
+    ahf = from_planar(plan.adjoint()(to_planar(f)[None])[0])
+    lhs = np.vdot(np.asarray(f), ac)
+    rhs = np.vdot(ahf, np.asarray(c))
+    # The adjoint plan is an independent discretization; agreement is
+    # bounded by the two plans' accuracy (f32 floor ~1e-5, not exact).
+    assert abs(lhs - rhs) / abs(lhs) <= 1e-4
+
+
+def test_planar_type3_grad(rng):
+    x, t = _random_sets(rng, 1, 60, 50, np.float32)
+    plan = tfft.planar.Type3Plan(x, t, tol=1e-6)
+    ct = to_planar(random_complex(rng, (50,), np.complex64))[None]
+    c = to_planar(random_complex(rng, (60,), np.complex64))[None]
+
+    def loss(src):
+        return jnp.sum(plan(src) * ct)
+
+    g = jax.grad(loss)(jnp.asarray(c))
+    # Finite-difference check along a few random directions.
+    v = np.asarray(to_planar(random_complex(
+        np.random.default_rng(3), (60,), np.complex64)))[None]
+    eps = 1e-3
+    fd = (loss(c + eps * v) - loss(c - eps * v)) / (2 * eps)
+    an = jnp.sum(g * v)
+    assert abs(float(fd) - float(an)) / max(abs(float(fd)), 1e-12) <= 1e-2
+
+
+def test_planar_type3_errors(rng):
+    x, t = _random_sets(rng, 1, 20, 20, np.float32)
+    plan = tfft.planar.Type3Plan(x, t)
+    with pytest.raises(ValueError, match="shape"):
+        plan(np.zeros((20, 2), np.float32))          # missing batch dim
+    with pytest.raises(TypeError, match="float32"):
+        tfft.planar.Type3Plan(x.astype(np.float64),
+                              t.astype(np.float64))
+
+
+@pytest.mark.parametrize("level_budget", ["mats", "binned"])
+def test_planar_type3_pallas_spread_path(rng, monkeypatch, level_budget):
+    # Force the planned Pallas spread branch (interpret mode on CPU) and
+    # check it against the XLA-spread branch.
+    if level_budget == "binned":
+        from tensorflow_nufft_tpu.kernels import pallas_spread
+        monkeypatch.setattr(pallas_spread, "MATS_BYTES_BUDGET", 0)
+    x, t = _random_sets(rng, 2, 300, 200, np.float32)
+    c = to_planar(random_complex(rng, (300,), np.complex64))[None]
+    plan_p = tfft.planar.Type3Plan(
+        x, t, tol=1e-5, options=tfft.Options(backend="pallas"))
+    assert plan_p._spread_level == level_budget
+    plan_x = tfft.planar.Type3Plan(
+        x, t, tol=1e-5, options=tfft.Options(backend="xla"))
+    assert plan_x._spread_level == "none"
+    got_p = np.asarray(plan_p(c))
+    got_x = np.asarray(plan_x(c))
+    np.testing.assert_allclose(got_p, got_x, rtol=1e-5,
+                               atol=1e-5 * np.abs(got_x).max())
