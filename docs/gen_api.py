@@ -15,7 +15,8 @@ ROOT = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
 MODULES = [
-    ("tensorflow_nufft_tpu", ["nufft", "interp", "spread", "nudft",
+    ("tensorflow_nufft_tpu", ["nufft", "nufft_type3", "Type3Plan",
+                              "nudft_type3", "interp", "spread", "nudft",
                               "Options", "DebuggingOptions", "FftwOptions",
                               "FftwPlanningRigor", "PointsRange"]),
     ("tensorflow_nufft_tpu.planar", None),
