@@ -114,6 +114,44 @@ def nufft_case(name, grid_shape, num_points, transform_type,
     }
 
 
+def type3_case(k2=7):
+    """Type-3 (nonuniform -> nonuniform): 200k points -> 200k target
+    frequencies, 2D, planned planar pipeline. No reference counterpart
+    (the reference never implemented type-3); throughput counts source
+    + target points per second."""
+    import jax
+    import jax.numpy as jnp
+    import tensorflow_nufft_tpu as tfft
+    from tensorflow_nufft_tpu.planar import to_planar
+
+    rng = np.random.default_rng(7)
+    m = k_targets = 200_000
+    x = rng.uniform(-np.pi, np.pi, (m, 2)).astype(np.float32)
+    t = rng.uniform(-64.0, 64.0, (k_targets, 2)).astype(np.float32)
+    z = (rng.standard_normal(m) + 1j * rng.standard_normal(m))
+    src = jnp.asarray(to_planar(z.astype(np.complex64)))[None]
+    op = tfft.planar.Type3Plan(x, t)
+
+    def make(k):
+        def f(s):
+            def body(i, acc):
+                sp = s + 1e-3 * jnp.sin(s * i.astype(jnp.float32))
+                out = jax.lax.optimization_barrier(op(sp))
+                return acc + out.ravel()[0]
+            return jax.lax.fori_loop(0, k, body, 0.0)
+        return f
+
+    per = marginal_time(make, (src,), k2=k2)
+    return {
+        "metric": "2d_t3_200k_200k",
+        "value": round((m + k_targets) / per, 1),
+        "unit": "points/s",
+        "ms_per_transform": round(per * 1e3, 3),
+        "fine_shape": list(op.fine_shape),
+        "planned_spread": op._spread_level,
+    }
+
+
 def cg_sense_case(k2=5, toeplitz=False):
     import jax
     import jax.numpy as jnp
@@ -188,6 +226,7 @@ def _case_registry(quick: bool):
                               "type_2", batch=8, shared_points=True,
                               k2=9, points_arr=radial)
         reg["2d_t2_512_radial_b8"] = radial_case
+        reg["2d_t3_200k_200k"] = type3_case
         reg["cg_sense"] = cg_sense_case
         reg["cg_sense_toeplitz"] = (
             lambda: cg_sense_case(toeplitz=True))
