@@ -78,6 +78,62 @@ def radial_density(num_spokes: int, num_samples: int,
     return w.astype(dtype)
 
 
+def pipe_menon_density(points, grid_shape: Tuple[int, ...],
+                       num_iters: int = 30, tol: float = 1e-3,
+                       options: Optional[Options] = None) -> jax.Array:
+    """Iterative density-compensation weights for arbitrary trajectories
+    (Pipe & Menon 1999).
+
+    Fixed-point iteration ``w <- w / |C C^H w|`` where ``C C^H`` is the
+    gridding-kernel k-space convolution (standalone ``spread`` followed
+    by ``interp`` on a 2x-oversampled grid — no FFT stage), which drives
+    the convolved sampling density flat. Works for any trajectory, unlike
+    the analytic ``radial_density`` ramp; the reference ships only the
+    analytic radial weights in its MRI example (docs/examples/
+    mri_app.ipynb via tfmri.sampling.radial_density).
+
+    The result is normalized to ``sum(w) == 1``, which makes the
+    density-compensated adjoint ``A^H W`` approximately unit-gain for
+    this framework's unnormalized transforms (the k = 0 response of
+    ``A^H W A`` is exactly ``sum(w)``).
+
+    Args:
+        points: [M, rank] trajectory in radians, rank in {1, 2, 3}.
+        grid_shape: target image grid (sets the convolution resolution).
+        num_iters: fixed-point iterations (static; ~20-40 suffices).
+        tol: kernel tolerance for the spread/interp pair (loose is fine:
+            the iteration only needs a smooth local kernel).
+        options: optional ``Options`` for the spread/interp ops.
+
+    Returns:
+        [M] float weights, ``sum(w) == 1``.
+    """
+    from tensorflow_nufft_tpu.utils.smooth import next_smooth_integer
+    points = jnp.asarray(points)
+    if points.ndim != 2:
+        raise ValueError(
+            f"points must have shape [M, rank], got {points.shape}")
+    rank = int(points.shape[-1])
+    if len(grid_shape) != rank:
+        raise ValueError(
+            f"grid_shape must have rank {rank}, got {grid_shape}")
+    m = int(points.shape[0])
+    fine = tuple(next_smooth_integer(2 * int(n)) for n in grid_shape)
+
+    def conv(w):
+        wp = jnp.stack([w, jnp.zeros_like(w)], -1)[None]
+        g = planar.spread(wp, points, fine, tol=tol, options=options)
+        v = planar.interp(g, points, tol=tol, options=options)[0]
+        return jnp.sqrt(pabs2(v))
+
+    def body(_, w):
+        return w / jnp.maximum(conv(w), 1e-12)
+
+    w = jax.lax.fori_loop(0, num_iters, body,
+                          jnp.ones((m,), points.dtype))
+    return w / jnp.sum(w)
+
+
 def birdcage_maps(num_coils: int, grid_shape: Tuple[int, int],
                   dtype=np.float32) -> np.ndarray:
     """Simulated birdcage coil sensitivity maps (planar),

@@ -176,3 +176,49 @@ def test_sense_toeplitz_normal_matches_composed():
     rec_u = np.asarray(mri.cg_sense(ksp, op_u, num_iters=8))
     np.testing.assert_allclose(rec_t, rec_u,
                                atol=2e-3 * np.abs(rec_u).max())
+
+
+def test_pipe_menon_density():
+    """Pipe-Menon weights flatten the convolved density, agree with the
+    analytic radial ramp in shape, and give a unit-gain adjoint recon
+    at least as good as the ramp's."""
+    import jax.numpy as jnp
+    from tensorflow_nufft_tpu import planar
+
+    grid = (64, 64)
+    spokes, samples = 64, 128
+    pts = jnp.asarray(mri.radial_trajectory(spokes, samples))
+    w = np.asarray(jax.jit(
+        lambda p: mri.pipe_menon_density(p, grid))(pts))
+    assert w.shape == (spokes * samples,)
+    assert np.all(w > 0)
+    np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-5)
+
+    # Shape agreement with the analytic ramp (radial ground truth).
+    ramp = np.asarray(mri.radial_density(spokes, samples))
+    ramp = ramp / ramp.sum()
+    assert np.corrcoef(w, ramp)[0, 1] > 0.85
+
+    # Unit-gain adjoint recon: at least as good as the analytic ramp.
+    phantom = jnp.asarray(mri.shepp_logan(grid))
+    ksp = planar.nufft(phantom[None], pts, transform_type="type_2")
+
+    def adj(wts):
+        return planar.nufft(ksp * wts[None, :, None], pts,
+                            grid_shape=grid, transform_type="type_1",
+                            fft_direction="backward")[0]
+
+    ref = np.asarray(phantom)
+    err_pm = np.linalg.norm(np.asarray(adj(jnp.asarray(w))) - ref) \
+        / np.linalg.norm(ref)
+    err_ramp = np.linalg.norm(
+        np.asarray(adj(jnp.asarray(ramp))) - ref) / np.linalg.norm(ref)
+    assert err_pm <= err_ramp * 1.05
+    assert err_pm < 1.0
+
+
+def test_pipe_menon_density_errors():
+    with pytest.raises(ValueError, match="rank"):
+        mri.pipe_menon_density(np.zeros((10, 2), np.float32), (16,))
+    with pytest.raises(ValueError, match="shape"):
+        mri.pipe_menon_density(np.zeros((10,), np.float32), (16,))
