@@ -43,17 +43,36 @@ def main():
           f"({spokes} spokes x {samples} samples x {coils} coils)")
 
     # --- 3a. Direct recon: density-compensated adjoint A^H W y. -------
+    def rel_err(x):
+        # Scale-invariant: the plain adjoint is unnormalized by
+        # construction (the density convention sets the global scale).
+        a = float(jnp.vdot(x.ravel(), phantom.ravel())
+                  / jnp.maximum(jnp.vdot(x.ravel(), x.ravel()), 1e-30))
+        return float(jnp.linalg.norm(a * x - phantom)
+                     / jnp.linalg.norm(phantom))
+
     adjoint = jax.jit(op.adjoint)(kspace)
-    err_adj = float(jnp.linalg.norm(adjoint - phantom)
-                    / jnp.linalg.norm(phantom))
+    err_adj = rel_err(adjoint)
     print(f"adjoint recon relative error:  {err_adj:.3f}")
 
     # --- 3b. Iterative recon: CG on the normal equations. -------------
     recon = jax.jit(
         lambda y: mri.cg_sense(y, op, num_iters=15))(kspace)
-    err_cg = float(jnp.linalg.norm(recon - phantom)
-                   / jnp.linalg.norm(phantom))
+    err_cg = rel_err(recon)
     print(f"CG-SENSE recon relative error: {err_cg:.3f}")
+
+    # --- 3c. Pipe-Menon density (any trajectory) + Toeplitz CG. -------
+    pm = mri.pipe_menon_density(points, grid)
+    op_pm = mri.SenseNufft(points, maps, grid, density=pm)
+    err_pm = rel_err(jax.jit(op_pm.adjoint)(kspace))
+    print(f"adjoint recon (pipe-menon):    {err_pm:.3f}")
+
+    op_toep = mri.SenseNufft(points, maps, grid, density=density,
+                             toeplitz=True)
+    recon_t = jax.jit(
+        lambda y: mri.cg_sense(y, op_toep, num_iters=15))(kspace)
+    err_t = rel_err(recon_t)
+    print(f"CG-SENSE (Toeplitz normal):    {err_t:.3f}")
 
     # --- 4. Gradients through the recon (e.g. for learned methods). ---
     def data_consistency(image_p):

@@ -270,9 +270,16 @@ class Type3Plan:
         """Applies the transform: strengths [..., M] -> values [..., K]."""
         source = jnp.asarray(source)
         if source.dtype != self.dtype:
+            hint = ""
+            if (self.dtype == np.complex128
+                    and source.dtype == np.dtype(np.complex64)
+                    and not jax.config.jax_enable_x64):
+                hint = (" (jax x64 is disabled, so complex128 inputs "
+                        "downcast to complex64 — enable jax_enable_x64 "
+                        "or build the plan with float32 points)")
             raise TypeError(
                 f"source must be {self.dtype} (from the points dtype), "
-                f"got {source.dtype}.")
+                f"got {source.dtype}{hint}.")
         if source.ndim < 1 or source.shape[-1] != self.num_points:
             raise ValueError(
                 f"source must have shape [..., {self.num_points}], got "
