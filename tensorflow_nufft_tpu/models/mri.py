@@ -25,11 +25,8 @@ from tensorflow_nufft_tpu.options.options import Options
 # Planar complex helpers.
 
 
-def pmul(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Planar complex multiply: (a * b) with trailing (re, im) axes."""
-    ar, ai = a[..., 0], a[..., 1]
-    br, bi = b[..., 0], b[..., 1]
-    return jnp.stack([ar * br - ai * bi, ar * bi + ai * br], axis=-1)
+# Planar complex multiply: shared implementation lives in planar.pmul.
+pmul = planar.pmul
 
 
 def pconj(a: jax.Array) -> jax.Array:
@@ -108,6 +105,8 @@ def pipe_menon_density(points, grid_shape: Tuple[int, ...],
     Returns:
         [M] float weights, ``sum(w) == 1``.
     """
+    from tensorflow_nufft_tpu.kernels import xla_ops
+    from tensorflow_nufft_tpu.plan.plan import PlanSpec, make_plan
     from tensorflow_nufft_tpu.utils.smooth import next_smooth_integer
     points = jnp.asarray(points)
     if points.ndim != 2:
@@ -119,15 +118,28 @@ def pipe_menon_density(points, grid_shape: Tuple[int, ...],
             f"grid_shape must have rank {rank}, got {grid_shape}")
     m = int(points.shape[0])
     fine = tuple(next_smooth_integer(2 * int(n)) for n in grid_shape)
+    options = options or Options()
 
-    def conv(w):
-        wp = jnp.stack([w, jnp.zeros_like(w)], -1)[None]
-        g = planar.spread(wp, points, fine, tol=tol, options=options)
-        v = planar.interp(g, points, tol=tol, options=options)[0]
-        return jnp.sqrt(pabs2(v))
+    # The spread/interp geometry (fold, per-point indices, ES kernel
+    # values) depends only on the points: compute it ONCE outside the
+    # fixed-point loop. The weights are real throughout, so the kernel
+    # convolution runs on a single real channel (global normalization
+    # constants cancel in the final sum-to-one step).
+    spec = PlanSpec(
+        transform_type="type_1", fft_direction="forward", rank=rank,
+        grid_shape=fine, dtype_name=planar._dtype_name(points.dtype),
+        tol=float(tol), points_range=int(options.points_range),
+        spread_only=True,
+        kernel_evaluation_method=options.kernel_evaluation_method)
+    plan = make_plan(spec)
+    resc = xla_ops.fold_and_rescale_split(points, fine,
+                                          int(options.points_range))
+    indices, kernels = xla_ops.spread_geometry(resc, plan)
 
     def body(_, w):
-        return w / jnp.maximum(conv(w), 1e-12)
+        g = xla_ops.spread_xla(w[None], indices, kernels, plan)
+        v = xla_ops.interp_xla(g, indices, kernels, plan)[0]
+        return w / jnp.maximum(jnp.abs(v), 1e-12)
 
     w = jax.lax.fori_loop(0, num_iters, body,
                           jnp.ones((m,), points.dtype))

@@ -36,6 +36,7 @@ type-2 (both differentiable); the point sets are plan statics.
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from typing import Optional, Tuple
 
@@ -48,8 +49,8 @@ from tensorflow_nufft_tpu.kernels.xla_ops import fold_and_rescale_split
 from tensorflow_nufft_tpu.ops.core import nufft_core
 from tensorflow_nufft_tpu.options.options import Options
 from tensorflow_nufft_tpu.plan.plan import (
-    MAX_ARRAY_SIZE, PlanSpec, es_kernel_np, kernel_beta, make_plan,
-    select_kernel_width)
+    EPSILON, MAX_ARRAY_SIZE, PlanSpec, es_kernel_np, kernel_beta,
+    make_plan, select_kernel_width)
 from tensorflow_nufft_tpu.utils.dtypes import real_dtype
 from tensorflow_nufft_tpu.utils import profiling as prof
 from tensorflow_nufft_tpu.utils.smooth import next_smooth_integer
@@ -74,9 +75,6 @@ def kernel_ft(omega: np.ndarray, width: int, beta: float) -> np.ndarray:
     return 2.0 * (np.cos(np.outer(np.asarray(omega, np.float64), z)) @ f)
 
 
-import dataclasses
-
-
 @dataclasses.dataclass(frozen=True)
 class Type3Statics:
     """Point-dependent statics of a type-3 transform, float64.
@@ -98,15 +96,20 @@ class Type3Statics:
 
 
 def compute_type3_statics(x64: np.ndarray, t64: np.ndarray,
-                          fft_direction: str,
-                          tol: float) -> Type3Statics:
+                          fft_direction: str, tol: float,
+                          real_dt=np.float64) -> Type3Statics:
     """Computes fine-grid geometry, rescaled coordinates and phases.
 
     See the module docstring for the derivation; formulas follow the
-    standard t3 grid/rescale selection (sigma fixed at 2.0)."""
+    standard t3 grid/rescale selection (sigma fixed at 2.0). ``real_dt``
+    is the transform's real dtype: the tolerance is clamped to its
+    precision floor with the SAME rule as ``make_plan`` so the statics'
+    kernel width always matches the spread/inner-t2 plans' (a mismatch
+    would silently deconvolve with the wrong kernel)."""
     rank = int(x64.shape[1])
     sigma = 2.0
-    width = select_kernel_width(max(tol, 1e-16), sigma)
+    tol = max(float(tol), EPSILON[np.dtype(real_dt)])
+    width = select_kernel_width(tol, sigma)
     beta = kernel_beta(width, sigma)
 
     x_c = (x64.max(0) + x64.min(0)) / 2.0
@@ -135,12 +138,16 @@ def compute_type3_statics(x64: np.ndarray, t64: np.ndarray,
         fine_shape.append(n)
         gamma[d] = n / (2.0 * sigma * t_safe[d])
     fine_shape = tuple(fine_shape)
-    if int(np.prod(fine_shape)) > MAX_ARRAY_SIZE:
+    # The inner type-2 oversamples this grid by sigma per dim; guard the
+    # larger allocation here so the tailored message fires.
+    inner_fine = int(np.prod([next_smooth_integer(int(n * sigma))
+                              for n in fine_shape]))
+    if inner_fine > MAX_ARRAY_SIZE:
         raise ValueError(
             f"type-3 fine grid is too big: {fine_shape} "
-            f"({int(np.prod(fine_shape))} elements > {MAX_ARRAY_SIZE}). "
-            "The grid scales with the product of the point and frequency "
-            "extents per dimension.")
+            f"(inner type-2 fine grid {inner_fine} elements > "
+            f"{MAX_ARRAY_SIZE}). The grid scales with the product of the "
+            "point and frequency extents per dimension.")
     h = 2.0 * math.pi / np.asarray(fine_shape, np.float64)
     sign = -1.0 if fft_direction == "forward" else 1.0
 
@@ -173,6 +180,10 @@ def validate_type3_point_sets(points, target_points,
             f"{x.shape[1]} vs {t.shape[1]}.")
     if x.shape[1] not in (1, 2, 3):
         raise ValueError(f"rank must be 1, 2 or 3, got {x.shape[1]}.")
+    if x.shape[0] == 0 or t.shape[0] == 0:
+        raise ValueError(
+            "type-3 point sets must be non-empty, got "
+            f"{x.shape[0]} points and {t.shape[0]} target_points.")
     if x.dtype != t.dtype:
         raise TypeError(
             f"points and target_points must share a dtype, got "
@@ -223,7 +234,7 @@ class Type3Plan:
                       else "complex128")
         st = compute_type3_statics(
             np.asarray(x, np.float64), np.asarray(t, np.float64),
-            fft_direction, tol)
+            fft_direction, tol, real_dt=x.dtype)
 
         rank = st.rank
         self.rank = rank
@@ -337,7 +348,8 @@ def nudft_type3(source, points, target_points,
     points = jnp.asarray(points)
     target_points = jnp.asarray(target_points)
     sign = -1.0 if fft_direction == "forward" else 1.0
-    phase = target_points @ points.T                   # [K, M]
+    phase = jnp.matmul(target_points, points.T,
+                       precision=jax.lax.Precision.HIGHEST)   # [K, M]
     mat = jnp.exp(jnp.asarray(sign * 1j, source.dtype)
                   * phase.astype(source.dtype))
     return jnp.einsum("km,...m->...k", mat, source,

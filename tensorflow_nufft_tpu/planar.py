@@ -733,8 +733,10 @@ def _type3_bwd(op, _, cotangent):
 _type3_call.defvjp(_type3_fwd, _type3_bwd)
 
 
-def _planar_phase_mul(values, phase):
-    """Planar complex multiply: values [..., 2] * phase [..., 2]."""
+def pmul(values, phase):
+    """Planar complex multiply: values [..., 2] * phase [..., 2]
+    (broadcasting elementwise; the shared planar helper —
+    ``models.mri.pmul`` is an alias)."""
     vr, vi = values[..., 0], values[..., 1]
     pr, pi = phase[..., 0], phase[..., 1]
     return jnp.stack([vr * pr - vi * pi, vr * pi + vi * pr], axis=-1)
@@ -778,7 +780,7 @@ class Type3Plan:
                                          allowed_dtypes=(np.float32,))
         st = compute_type3_statics(
             np.asarray(x, np.float64), np.asarray(t, np.float64),
-            fft_direction, tol)
+            fft_direction, tol, real_dt=np.float32)
         self._x, self._t = x, t
         self.rank = st.rank
         self.num_points = st.num_points
@@ -877,7 +879,7 @@ class Type3Plan:
         from tensorflow_nufft_tpu.kernels import dispatch
         from tensorflow_nufft_tpu.utils import profiling as prof
         batch = source.shape[0]
-        src = _planar_phase_mul(source.astype(jnp.float32),
+        src = pmul(source.astype(jnp.float32),
                                 self._prephase)
         cm = jnp.moveaxis(src, -1, 1).reshape(2 * batch, self.num_points)
         with prof.scope("nufft3.spread"):
@@ -896,7 +898,7 @@ class Type3Plan:
             fine.reshape((batch, 2) + self.fine_shape), 1, -1)
         with prof.scope("nufft3.inner_t2"):
             vals = self._inner_t2(grid)            # [B, K, 2]
-        return _planar_phase_mul(vals, self._postphase)
+        return pmul(vals, self._postphase)
 
     def __call__(self, source):
         """Applies the transform: planar [B, M, 2] -> [B, K, 2]."""

@@ -298,3 +298,28 @@ def test_planar_type3_pallas_spread_path(rng, monkeypatch, level_budget):
     got_x = np.asarray(plan_x(c))
     np.testing.assert_allclose(got_p, got_x, rtol=1e-5,
                                atol=1e-5 * np.abs(got_x).max())
+
+
+def test_type3_f32_tol_below_floor_clamps(rng):
+    # Regression: tolerances below the f32 floor must clamp consistently
+    # between the statics (geometry + kernel-FT deconvolution) and the
+    # spread/inner-t2 plans. A width mismatch silently deconvolved with
+    # the wrong kernel (planar) or crashed at construction (complex).
+    x, t = _random_sets(rng, 2, 200, 150, np.float32)
+    c = random_complex(rng, (200,), np.complex64)
+    got = tfft.nufft_type3(c, x, t, tol=1e-9)     # clamps to ~6e-8
+    want = tfft.nudft_type3(
+        c.astype(np.complex128), x.astype(np.float64),
+        t.astype(np.float64))
+    assert _rel_err(got, want) <= 1e-4
+
+    plan_p = tfft.planar.Type3Plan(x, t, tol=1e-9)
+    got_p = plan_p(to_planar(c)[None])
+    assert _rel_err(from_planar(got_p[0]), want) <= 1e-4
+
+
+def test_type3_empty_point_sets_raise():
+    with pytest.raises(ValueError, match="non-empty"):
+        tfft.Type3Plan(np.zeros((0, 2)), np.zeros((5, 2)))
+    with pytest.raises(ValueError, match="non-empty"):
+        tfft.Type3Plan(np.zeros((5, 2)), np.zeros((0, 2)))

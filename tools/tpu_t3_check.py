@@ -43,10 +43,10 @@ scale = np.abs(ref).max()
 err = np.abs(got - ref).max() / scale
 log(f"max rel err vs planar oracle (512 targets): {err:.3e}")
 
-# CPU float64 reference for the same subsample (true accuracy).
-ref64 = np.asarray(tfft.nudft_type3(
-    z.astype(np.complex128), x.astype(np.float64),
-    t[idx].astype(np.float64)))
+# Float64 dense reference in pure NumPy (jax on this box defaults to the
+# TPU backend with x64 off, which would silently downcast the oracle).
+ph = np.exp(-1j * (t[idx].astype(np.float64) @ x.astype(np.float64).T))
+ref64 = ph @ z.astype(np.complex128)
 err64 = np.abs((got[..., 0] + 1j * got[..., 1]) - ref64).max() \
     / np.abs(ref64).max()
 log(f"max rel err vs f64 dense oracle:            {err64:.3e}")
