@@ -323,3 +323,24 @@ def test_type3_empty_point_sets_raise():
         tfft.Type3Plan(np.zeros((0, 2)), np.zeros((5, 2)))
     with pytest.raises(ValueError, match="non-empty"):
         tfft.Type3Plan(np.zeros((5, 2)), np.zeros((0, 2)))
+
+
+def test_type3_adversarial_geometries(rng):
+    # Outlier-dominated extent: one far point inflates X; centering and
+    # the nf margin must still hold (no kernel wrap, error within tol).
+    x = np.concatenate([rng.uniform(-1, 1, (150, 2)),
+                        np.array([[90.0, -75.0]])])
+    t = rng.uniform(-3, 3, (100, 2))
+    c = random_complex(rng, (151,), np.complex128)
+    got = tfft.nufft_type3(c, x, t, tol=1e-9)
+    want = tfft.nudft_type3(c, x, t)
+    assert _rel_err(got, want) <= 1e-8
+
+    # Log-spaced one-sided frequencies (heavily skewed centering).
+    t2 = np.stack([np.logspace(-2, 1.5, 80),
+                   np.logspace(-1, 1.2, 80)], axis=-1)
+    x2 = rng.uniform(-2, 2, (120, 2))
+    c2 = random_complex(rng, (120,), np.complex128)
+    got2 = tfft.nufft_type3(c2, x2, t2, tol=1e-9)
+    want2 = tfft.nudft_type3(c2, x2, t2)
+    assert _rel_err(got2, want2) <= 1e-8
