@@ -258,3 +258,117 @@ def sharded_nufft_grid(source: jax.Array,
         in_specs=(P(None, grid_axis, *grid_dims), P(grid_axis, None)),
         out_specs=P(None, grid_axis, None))
     return fn(source, points)
+
+
+def sharded_nufft_type3(source: jax.Array,
+                        points,
+                        target_points,
+                        mesh: Mesh,
+                        fft_direction: str = "forward",
+                        tol: float = 1e-6,
+                        options: Optional[Options] = None,
+                        data_axis: Optional[str] = "data",
+                        points_axis: Optional[str] = "points"):
+    """Planar type-3 NUFFT sharded over a device mesh.
+
+    One ``points_axis`` scales BOTH nonuniform sides: each device
+    prephases and spreads its shard of the source points onto the
+    type-3 fine grid (one ``psum`` reduces the grid — the collective
+    analog of scatter-add), then evaluates its shard of the target
+    frequencies with a local inner type-2 (no communication at all on
+    the target side). ``data_axis`` shards the strength batch with no
+    communication. No reference counterpart on either axis: the
+    reference has neither type-3 nor a distributed layer.
+
+    Args:
+        source: planar strengths ``[B, M, 2]`` (float32). ``B`` shards
+            over ``data_axis``, ``M`` over ``points_axis``.
+        points: ``[M, rank]`` float32, concrete (plan statics).
+            ``M`` must divide the ``points_axis`` size.
+        target_points: ``[K, rank]`` float32, concrete. ``K`` must
+            divide the ``points_axis`` size.
+        mesh: the device mesh.
+
+    Returns:
+        ``[B, K, 2]`` planar values, sharded (data, points).
+    """
+    import numpy as np
+
+    from tensorflow_nufft_tpu.kernels import dispatch
+    from tensorflow_nufft_tpu.kernels.xla_ops import (
+        fold_and_rescale_split)
+    from tensorflow_nufft_tpu.ops.planar_core import nufft_core_planar
+    from tensorflow_nufft_tpu.ops.type3 import (
+        compute_type3_statics, validate_type3_point_sets)
+    from tensorflow_nufft_tpu.plan.plan import make_plan
+
+    options = options or Options()
+    x, t = validate_type3_point_sets(points, target_points,
+                                     allowed_dtypes=(np.float32,))
+    st = compute_type3_statics(
+        np.asarray(x, np.float64), np.asarray(t, np.float64),
+        fft_direction, tol, real_dt=np.float32)
+
+    da = data_axis if data_axis and data_axis in mesh.axis_names else None
+    pa = points_axis if points_axis and points_axis in mesh.axis_names \
+        else None
+    npts = mesh.shape[pa] if pa else 1
+    if st.num_points % npts or st.num_targets % npts:
+        raise ValueError(
+            f"M={st.num_points} and K={st.num_targets} must divide the "
+            f"'{points_axis}' mesh axis size {npts}")
+
+    xi = jnp.asarray(st.xi.astype(np.float32))
+    theta = jnp.asarray(st.theta.astype(np.float32))
+    pre = jnp.asarray(
+        np.stack([st.prephase.real, st.prephase.imag], -1)
+        .astype(np.float32))                               # [M, 2]
+    post = jnp.asarray(
+        np.stack([st.postphase.real, st.postphase.imag], -1)
+        .astype(np.float32))                               # [K, 2]
+
+    spread_spec = PlanSpec(
+        transform_type="type_1", fft_direction=fft_direction,
+        rank=st.rank, grid_shape=st.fine_shape, dtype_name="complex64",
+        tol=float(tol), points_range=0, spread_only=True,
+        backend=options.backend,
+        kernel_evaluation_method=options.kernel_evaluation_method)
+    spread_plan = make_plan(spread_spec)
+    t2_spec = PlanSpec(
+        transform_type="type_2", fft_direction=fft_direction,
+        rank=st.rank, grid_shape=st.fine_shape, dtype_name="complex64",
+        tol=float(tol), points_range=0, backend=options.backend,
+        kernel_evaluation_method=options.kernel_evaluation_method)
+
+    from tensorflow_nufft_tpu.planar import pmul
+
+    def local_fn(src, xi_l, pre_l, theta_l, post_l):
+        src = _vary_over(src, mesh.axis_names)
+        xi_l = _vary_over(xi_l, mesh.axis_names)
+        pre_l = _vary_over(pre_l, mesh.axis_names)
+        theta_l = _vary_over(theta_l, mesh.axis_names)
+        post_l = _vary_over(post_l, mesh.axis_names)
+        batch = src.shape[0]
+        m_local = src.shape[1]
+        s = pmul(src, pre_l[None])                  # [B, M_l, 2]
+        resc = fold_and_rescale_split(xi_l, st.fine_shape, 0)
+        cm = jnp.moveaxis(s, -1, 1).reshape(2 * batch, m_local)
+        fine = dispatch.spread(cm, resc, spread_plan)
+        if pa is not None:
+            # Each device spread only its local points: reduce the
+            # fine grid over the points axis (linear, so reducing the
+            # raw spread is exact). The psum result is axis-invariant;
+            # re-mark it varying so the per-device inner type-2 (local
+            # theta shard) composes under the vma check.
+            fine = _vary_over(jax.lax.psum(fine, pa), (pa,))
+        grid = jnp.moveaxis(
+            fine.reshape((batch, 2) + st.fine_shape), 1, -1)
+        vals = nufft_core_planar(grid, theta_l, t2_spec)   # [B, K_l, 2]
+        return pmul(vals, post_l[None])
+
+    fn = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(da, pa, None), P(pa, None), P(pa, None),
+                  P(pa, None), P(pa, None)),
+        out_specs=P(da, pa, None))
+    return fn(source, xi, pre, theta, post)

@@ -133,3 +133,58 @@ class TestGridSharded:
         g1 = jax.grad(loss_sharded)(strengths)
         g2 = jax.grad(loss_local)(strengths)
         assert _relerr(g1, g2) < 1e-4
+
+
+class TestShardedType3:
+    def _sets(self, rng):
+        m, k = 64, 48
+        x = rng.uniform(-3, 5, (m, 2)).astype(np.float32)
+        t = rng.uniform(-20, 20, (k, 2)).astype(np.float32)
+        c = to_planar(random_complex(rng, (4, m), np.complex64))
+        return x, t, c
+
+    def test_matches_unsharded(self, rng):
+        from tensorflow_nufft_tpu.parallel import sharded_nufft_type3
+        x, t, c = self._sets(rng)
+        mesh = _mesh((2, 4), ("data", "points"))
+        got = sharded_nufft_type3(jnp.asarray(c), x, t, mesh, tol=1e-5)
+        ref = tfft.planar.Type3Plan(x, t, tol=1e-5)(jnp.asarray(c))
+        assert got.shape == ref.shape == (4, 48, 2)
+        assert _relerr(got, ref) <= 1e-5
+
+    def test_points_axis_only(self, rng):
+        from tensorflow_nufft_tpu.parallel import sharded_nufft_type3
+        x, t, c = self._sets(rng)
+        mesh = _mesh((8,), ("points",))
+        got = sharded_nufft_type3(jnp.asarray(c), x, t, mesh,
+                                  tol=1e-5, data_axis=None)
+        ref = tfft.planar.Type3Plan(x, t, tol=1e-5)(jnp.asarray(c))
+        assert _relerr(got, ref) <= 1e-5
+
+    def test_gradient(self, rng):
+        from tensorflow_nufft_tpu.parallel import sharded_nufft_type3
+        x, t, c = self._sets(rng)
+        mesh = _mesh((2, 4), ("data", "points"))
+        ct = to_planar(random_complex(rng, (4, 48), np.complex64))
+
+        def loss_sharded(src):
+            out = sharded_nufft_type3(src, x, t, mesh, tol=1e-5)
+            return jnp.sum(out * jnp.asarray(ct))
+
+        plan = tfft.planar.Type3Plan(x, t, tol=1e-5)
+
+        def loss_ref(src):
+            return jnp.sum(plan(src) * jnp.asarray(ct))
+
+        g_sharded = jax.grad(loss_sharded)(jnp.asarray(c))
+        g_ref = jax.grad(loss_ref)(jnp.asarray(c))
+        assert _relerr(g_sharded, g_ref) <= 1e-4
+
+    def test_divisibility_error(self, rng):
+        from tensorflow_nufft_tpu.parallel import sharded_nufft_type3
+        x = rng.uniform(-1, 1, (63, 2)).astype(np.float32)   # 63 % 4 != 0
+        t = rng.uniform(-5, 5, (48, 2)).astype(np.float32)
+        c = to_planar(random_complex(rng, (2, 63), np.complex64))
+        mesh = _mesh((2, 4), ("data", "points"))
+        with pytest.raises(ValueError, match="divide"):
+            sharded_nufft_type3(jnp.asarray(c), x, t, mesh)
