@@ -176,6 +176,16 @@ def choose_geometry(fine_shape: Sequence[int], width: int,
     return TileGeometry(fine_shape, tile, pad, chunk, num_chunks)
 
 
+def geometry_valid(geom: TileGeometry) -> bool:
+    """Whether the tile/pad geometry supports the periodic overlap-add:
+    each tile must cover both halo bands (tile >= 2*pad). Fine dims
+    smaller than 2*pad cannot be tiled — choose_geometry's fallback
+    tile = nf then violates the invariant and the fold would slice out
+    of bounds. Callers must fall back to the XLA path (or raise) when
+    this is False."""
+    return all(t >= 2 * geom.pad for t in geom.tile)
+
+
 def ranking_is_exact(geom: TileGeometry) -> bool:
     """Whether the one-hot f32 ranking arithmetic in ``bin_points`` is
     exact for this geometry. Slot indices reach ``num_chunks * chunk``;
@@ -194,7 +204,6 @@ class BinnedPoints(NamedTuple):
     #                         slot (M for padded slots) — the inverse of
     #                         padpos; payload builds gather through it
     chunk_tidx: Tuple[jax.Array, ...]  # per-axis tile index per chunk
-    chunk_first: jax.Array  # [num_chunks] 1 if first chunk of its tile
     tile_bounds: jax.Array  # [num_tiles + 1] chunk range of each tile:
     #                         tile t owns chunks [b[t], b[t+1])
 
@@ -343,9 +352,6 @@ def bin_points(points_resc, geom: TileGeometry) -> BinnedPoints:
     chunk_tile = jnp.searchsorted(
         chunk_starts.astype(jnp.int32), chunk_ids, side="right") - 1
     chunk_tile = jnp.clip(chunk_tile, 0, num_tiles - 1)
-    chunk_first = jnp.concatenate([
-        jnp.ones((1,), jnp.int32),
-        (chunk_tile[1:] != chunk_tile[:-1]).astype(jnp.int32)])
 
     chunk_tidx = []
     rem = chunk_tile
@@ -372,7 +378,6 @@ def bin_points(points_resc, geom: TileGeometry) -> BinnedPoints:
         padpos=padpos,
         invpos=invpos,
         chunk_tidx=chunk_tidx,
-        chunk_first=chunk_first,
         tile_bounds=tile_bounds,
     )
 

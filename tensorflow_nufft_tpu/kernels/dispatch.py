@@ -23,24 +23,45 @@ def pallas_active(plan: NufftPlan, dtype, num_points=None) -> bool:
     ``dtype`` (the Pallas kernels are planar/real-only)."""
     if plan.spec.backend == "xla":
         return False
-    if jnp.issubdtype(np.dtype(dtype), jnp.complexfloating):
-        return False
+    is_complex_data = jnp.issubdtype(np.dtype(dtype),
+                                     jnp.complexfloating)
     try:
         from tensorflow_nufft_tpu.kernels import pallas_spread as ps
     except ImportError:
+        if plan.spec.backend == "pallas":
+            raise ValueError(
+                "backend='pallas' requested but the Pallas kernels are "
+                "unavailable on this install.")
         return False
     if plan.spec.backend == "pallas":
         # Forced: still require a supported config — silently degrading
-        # (e.g. casting f64 planar data to f32) would destroy accuracy.
+        # (e.g. casting f64 planar data to f32, or quietly running XLA
+        # for complex arrays) would defeat the point of forcing.
+        if is_complex_data:
+            raise ValueError(
+                "backend='pallas' serves the planar (real, trailing "
+                "re/im channel) pipeline only; complex-dtype arrays "
+                "dispatch to XLA. Use the planar API or backend='xla'.")
         if not ps.supports(plan):
             raise ValueError(
                 f"backend='pallas' requires complex64/planar-float32 "
                 f"data and rank in (1, 2, 3); got "
                 f"dtype_name={plan.spec.dtype_name!r}, rank={plan.rank}. "
                 f"Use backend='xla' (or 'auto') instead.")
+        from tensorflow_nufft_tpu.kernels import binning
+        geom = binning.choose_geometry(
+            plan.fine_shape, plan.width,
+            int(num_points) if num_points is not None else 1)
+        if not binning.geometry_valid(geom):
+            raise ValueError(
+                f"backend='pallas' cannot tile fine shape "
+                f"{plan.fine_shape} (a dim is smaller than twice the "
+                f"halo {geom.pad}); use backend='xla' (or 'auto').")
         return True
     # auto: only on TPU, f32 planar, supported config; spread-only ops
     # stay on XLA so they remain differentiable through the kernel.
+    if is_complex_data:
+        return False
     try:
         on_tpu = jax.default_backend() == "tpu"
     except RuntimeError:
@@ -51,14 +72,21 @@ def pallas_active(plan: NufftPlan, dtype, num_points=None) -> bool:
         return False
     if not ps.supports(plan):
         return False
-    if num_points is not None:
-        # Fall back to XLA when the f32 slot arithmetic in the binning
-        # pass would lose integer exactness (>= 2**24 slots).
-        from tensorflow_nufft_tpu.kernels import binning
-        geom = binning.choose_geometry(plan.fine_shape, plan.width,
-                                       int(num_points))
-        if not binning.ranking_is_exact(geom):
-            return False
+    from tensorflow_nufft_tpu.kernels import binning
+    geom = binning.choose_geometry(
+        plan.fine_shape, plan.width,
+        int(num_points) if num_points is not None else 1)
+    if not binning.geometry_valid(geom):
+        return False
+    if (ps.streaming_group_size(geom) == 0
+            and ps.resident_group_size(geom) == 0):
+        # Not even a 2-channel group fits the VMEM budget (very wide
+        # kernels on large 3D tiles): fall back to XLA.
+        return False
+    if num_points is not None and not binning.ranking_is_exact(geom):
+        # The f32 slot arithmetic in the binning pass would lose
+        # integer exactness (>= 2**24 slots): fall back to XLA.
+        return False
     return True
 
 

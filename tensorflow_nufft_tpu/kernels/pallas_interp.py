@@ -180,7 +180,9 @@ def _interp_kernel_resident_mats(*refs, geom: TileGeometry, batch2):
     for j in range(NBUF - 1):
         @pl.when(j < used)
         def _(j=j):
-            chunk_dma(j, j).start()
+            # Static preamble index: clamp for tiny plans (see
+            # pallas_spread preambles).
+            chunk_dma(j, min(j, geom.num_chunks - 1)).start()
 
     def body(k, _):
         slot = jax.lax.rem(k, jnp.asarray(NBUF, k.dtype))
@@ -356,8 +358,11 @@ def interp_pallas_tiled(tiles: jax.Array, points_resc,
     preprocessing and the in-kernel polynomial evaluation.
 
     ``chunk_order=True`` returns [B2, NC*chunk] values in SLOT order
-    (zeros in padded slots) instead of point order, skipping the
-    un-permute gather — feed straight into
+    instead of point order (padded slots within a tile's used chunks
+    are zero; slots in chunks beyond ``tile_bounds[-1]`` are never
+    written and hold uninitialized memory — consumers must stop at the
+    used range, as the spread kernels do), skipping the un-permute
+    gather — feed straight into
     ``spread_pallas_tiles(values_slots=...)`` for a fused normal
     operator."""
     from tensorflow_nufft_tpu.kernels.pallas_spread import (
@@ -372,6 +377,11 @@ def interp_pallas_tiled(tiles: jax.Array, points_resc,
         # array fits; larger problems stream mats through the per-tile
         # grid kernel (_interp_kernel_mats).
         group = resident_group_size(geom) or group
+    if group == 0:
+        raise ValueError(
+            f"Pallas interp: no channel group fits the VMEM budget for "
+            f"geometry tile={geom.tile} ext={geom.ext} "
+            f"chunk={geom.chunk}; use backend='xla'.")
     payload = coords
     if mats is None and payload is None:
         payload = build_coords_payload(binned, geom)

@@ -354,13 +354,13 @@ def streaming_group_size(geom: TileGeometry) -> int:
     the contraction stack — the rank-3 stack term forces small groups
     (the tile block itself is tiny)."""
     g = MAX_CHANNELS
-    while g > 2:
+    while g >= 2:
         block = g * int(np.prod(geom.ext)) * 4
         if block + _scratch_bytes_streaming(geom, g) <= \
                 VMEM_RESIDENT_BUDGET:
             return g
         g -= 2
-    return 2
+    return 0          # not even 2 channels fit: caller must not launch
 
 
 def accumulate_spread_at(out_ref, tids, mats_t, data,
@@ -435,7 +435,10 @@ def _spread_kernel_resident_mats(*refs, geom: TileGeometry, batch2):
     for j in range(NBUF - 1):
         @pl.when(j < used)
         def _(j=j):
-            for dma in chunk_dmas(j, j):
+            # Static preamble index: clamp so tiny plans
+            # (num_chunks < NBUF-1) pass Mosaic's static bounds check;
+            # execution is pl.when-guarded either way.
+            for dma in chunk_dmas(j, min(j, geom.num_chunks - 1)):
                 dma.start()
 
     def body(k, _):
@@ -597,7 +600,10 @@ def _spread_kernel_resident_split(*refs, geom: TileGeometry, beta, c,
     for j in range(NBUF - 1):
         @pl.when(j < used)
         def _(j=j):
-            for dma in chunk_dmas(j, j):
+            # Static preamble index: clamp so tiny plans
+            # (num_chunks < NBUF-1) pass Mosaic's static bounds check;
+            # execution is pl.when-guarded either way.
+            for dma in chunk_dmas(j, min(j, geom.num_chunks - 1)):
                 dma.start()
 
     def body(k, _):
@@ -746,7 +752,7 @@ def _spread_kernel_mats(*refs, geom: TileGeometry, batch2):
 
 def spread_pallas_tiles(strengths_cm: jax.Array, points_resc,
                         plan: NufftPlan, binned=None, mats=None,
-                        coords=None, values_slots=None):
+                        coords=None, values_slots=None, geom=None):
     """[B2, M] channel-major real strengths + rescaled points (or
     (hi, lo) pair) -> ([*tiles, B2, *ext] extended tile blocks, geom).
 
@@ -765,7 +771,12 @@ def spread_pallas_tiles(strengths_cm: jax.Array, points_resc,
     m = num_points_of(points_resc)
     batch2 = (strengths_cm if values_slots is None
               else values_slots).shape[0]
-    geom = choose_geometry(plan.fine_shape, plan.width, m)
+    if geom is None:
+        # Planned callers MUST pass the geometry their binned/mats
+        # payloads were built against: choose_geometry reads mutable
+        # global overrides, so recomputing here could silently disagree
+        # with a payload captured at plan time.
+        geom = choose_geometry(plan.fine_shape, plan.width, m)
     rank = geom.rank
     if binned is None:
         binned = bin_points(points_resc, geom)
@@ -775,6 +786,11 @@ def spread_pallas_tiles(strengths_cm: jax.Array, points_resc,
         # array fits; larger problems stream mats through the per-tile
         # grid kernel (_spread_kernel_mats).
         group = resident_group_size(geom) or group
+    if group == 0:
+        raise ValueError(
+            f"Pallas spread: no channel group fits the VMEM budget for "
+            f"geometry tile={geom.tile} ext={geom.ext} "
+            f"chunk={geom.chunk}; use backend='xla'.")
     # Combined single-DMA payload whenever every group fits one
     # 8-sublane block (any single complex transform, ranks 1-3); wider
     # channel groups keep the split layout, whose static coords payload

@@ -481,7 +481,8 @@ class PlannedNufft:
             src_cm = jnp.moveaxis(source, -1, 1).reshape(2 * batch, m)
             tiles, _ = spread_pallas_tiles(
                 src_cm.astype(jnp.float32), self.points_resc, self.plan,
-                binned=self.binned, mats=self.mats, coords=self.coords)
+                binned=self.binned, mats=self.mats, coords=self.coords,
+                geom=self.geom)
             out = dft_truncate_deconvolve_tiled(
                 tiles, self.plan, self.geom, batch)
             return out.astype(source.dtype)
@@ -553,7 +554,8 @@ class PlannedNufft:
             flat = flat * jax.lax.stop_gradient(slot_w)[None, :]
         tiles1, _ = spread_pallas_tiles(
             None, t2.points_resc, t1.plan, binned=t2.binned,
-            mats=t2.mats, coords=t2.coords, values_slots=flat)
+            mats=t2.mats, coords=t2.coords, values_slots=flat,
+            geom=t2.geom)
         out = dft_truncate_deconvolve_tiled(tiles1, t1.plan, t2.geom,
                                             batch)
         return out.astype(source.dtype)
@@ -826,7 +828,8 @@ class Type3Plan:
                 and _ps.supports(self._spread_plan)):
             geom = binning.choose_geometry(
                 self.fine_shape, self._spread_plan.width, self.num_points)
-            if binning.ranking_is_exact(geom):
+            if (binning.geometry_valid(geom)
+                    and binning.ranking_is_exact(geom)):
                 from tensorflow_nufft_tpu.kernels.pallas_spread import (
                     MATS_BYTES_BUDGET, mats_payload_bytes)
                 self.geom = geom
@@ -889,7 +892,7 @@ class Type3Plan:
                 tiles, _ = spread_pallas_tiles(
                     cm, self._points_resc, self._spread_plan,
                     binned=self.binned, mats=self.mats,
-                    coords=self.coords)
+                    coords=self.coords, geom=self.geom)
                 fine = overlap_add(tiles, self.geom)
             else:
                 fine = dispatch.spread(cm, self._points_resc,

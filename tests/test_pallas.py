@@ -136,9 +136,11 @@ def test_pallas_streaming_rank3_subchunk(rng, monkeypatch,
                                          transform_type):
     """The rank-3 streaming kernels' sub-chunk fold (chunk > 128 lanes
     folded through the VMEM staging ref) matches XLA. Forces the
-    per-tile-grid path (resident budget 0) and a 2-sub-chunk geometry."""
+    per-tile-grid path (resident_fits forced False) and a 2-sub-chunk
+    geometry."""
     from tensorflow_nufft_tpu.kernels import binning, pallas_spread
-    monkeypatch.setattr(pallas_spread, "VMEM_RESIDENT_BUDGET", 0)
+    monkeypatch.setattr(pallas_spread, "resident_fits",
+                        lambda *a, **k: False)
     binning.set_geometry_overrides(chunk=256)
     try:
         grid_shape = (16, 16, 16)
@@ -237,7 +239,8 @@ class TestPlannedNufft:
         mats-streaming kernels (tile array forced non-resident):
         matches the unplanned op for ranks 2 and 3."""
         from tensorflow_nufft_tpu.kernels import pallas_spread
-        monkeypatch.setattr(pallas_spread, "VMEM_RESIDENT_BUDGET", 0)
+        monkeypatch.setattr(pallas_spread, "resident_fits",
+                            lambda *a, **k: False)
         grid = (16, 16) if rank == 2 else (16, 16, 16)
         m = 500
         pts = random_points(rng, (m, rank), np.float32)
@@ -437,3 +440,45 @@ class TestFusedNormal:
         got = np.asarray(jax.jit(op.normal)(src))
         ref = np.asarray(op.normal(src))
         np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+class TestDispatchGuards:
+    def test_forced_pallas_tiny_grid_raises(self, rng):
+        # Fine dims below twice the halo cannot be tiled; the forced
+        # backend must say so instead of crashing in the overlap-add.
+        pts = random_points(rng, (20, 1), np.float32)
+        src = to_planar(random_complex(rng, (20,), np.complex64))
+        # grid 3 at tol 0.1: fine = 6 < 2*pad = 8.
+        with pytest.raises(ValueError, match="tile|halo"):
+            tfft.planar.nufft(src, pts, grid_shape=(3,),
+                              transform_type="type_1", tol=1e-1,
+                              options=tfft.Options(backend="pallas"))
+
+    def test_forced_pallas_complex_raises(self, rng):
+        # The Pallas kernels serve the planar pipeline only; forcing
+        # them for complex arrays must error, not silently run XLA.
+        pts = random_points(rng, (20, 1), np.float32)
+        src = random_complex(rng, (20,), np.complex64)
+        with pytest.raises(ValueError, match="planar"):
+            tfft.nufft(src, pts, grid_shape=(32,),
+                       transform_type="type_1",
+                       options=tfft.Options(backend="pallas"))
+
+    def test_planned_single_chunk(self, rng):
+        # num_chunks can be smaller than the DMA pipeline depth; the
+        # resident kernels' prefetch preamble must stay in bounds.
+        from tensorflow_nufft_tpu.kernels import binning
+        pts = random_points(rng, (100, 2), np.float32)
+        op = tfft.planar.PlannedNufft(
+            pts, (32, 32), transform_type="type_1",
+            options=tfft.Options(backend="pallas"))
+        assert op._planned
+        geom = op.geom
+        assert geom.num_chunks <= 2    # the tiny-plan regime
+        src = to_planar(random_complex(rng, (1, 100), np.complex64))
+        got = np.asarray(op(src))
+        ref = np.asarray(tfft.planar.nufft(
+            src, pts, grid_shape=(32, 32), transform_type="type_1",
+            options=tfft.Options(backend="xla")))
+        np.testing.assert_allclose(got, ref, rtol=1e-4,
+                                   atol=1e-4 * np.abs(ref).max())
