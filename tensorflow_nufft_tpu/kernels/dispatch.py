@@ -57,6 +57,14 @@ def pallas_active(plan: NufftPlan, dtype, num_points=None) -> bool:
                 f"backend='pallas' cannot tile fine shape "
                 f"{plan.fine_shape} (a dim is smaller than twice the "
                 f"halo {geom.pad}); use backend='xla' (or 'auto').")
+        if (num_points is not None
+                and not binning.ranking_is_exact(geom)):
+            raise ValueError(
+                f"backend='pallas' cannot bin {int(num_points)} points "
+                f"on fine shape {plan.fine_shape}: the f32 slot "
+                f"arithmetic loses integer exactness at >= 2**24 slots "
+                f"(got {geom.num_chunks * geom.chunk}); use "
+                f"backend='xla' (or 'auto').")
         return True
     # auto: only on TPU, f32 planar, supported config; spread-only ops
     # stay on XLA so they remain differentiable through the kernel.

@@ -429,14 +429,17 @@ def nudft(source,
         elem_rank = rank
         out_elem_shape = (num_points,)
 
+    hi = jax.lax.Precision.HIGHEST   # oracle accuracy trumps speed
+
     def core(src, pts, _spec=None):
         # src: [B, *elem]; pts: [M, rank]
         mat = _nudft_matrix(pts, grid_shape, fft_direction, source.dtype)
         if transform_type == "type_1":
-            return jnp.einsum("mn,bm->bn", mat, src).reshape(
+            return jnp.einsum("mn,bm->bn", mat, src,
+                              precision=hi).reshape(
                 (src.shape[0],) + grid_shape)
         return jnp.einsum("mn,bn->bm", mat,
-                          src.reshape(src.shape[0], -1))
+                          src.reshape(src.shape[0], -1), precision=hi)
 
     return _apply_batched(core, source, points, None, elem_rank,
                           out_elem_shape, None)
@@ -454,7 +457,8 @@ def _nudft_matrix(points, grid_shape: Tuple[int, ...], fft_direction: str,
     k_grid = np.stack(np.meshgrid(*k_vecs, indexing="ij"), axis=0)
     k_grid = k_grid.reshape(rank, -1)
     k_grid = jnp.asarray(k_grid, dtype=points.dtype)
-    phase = points @ k_grid                       # [M, prod(grid)]
+    phase = jnp.matmul(points, k_grid,
+                       precision=jax.lax.Precision.HIGHEST)
     sign = -1.0 if fft_direction == "forward" else 1.0
     return jnp.exp(jnp.asarray(sign * 1j, dtype) *
                    phase.astype(dtype))

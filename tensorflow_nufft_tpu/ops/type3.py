@@ -122,8 +122,7 @@ def compute_type3_statics(x64: np.ndarray, t64: np.ndarray,
     tiny = 1e-30
     x_safe = np.where(
         half_x <= tiny,
-        np.where(half_t <= tiny, 1.0,
-                 np.maximum(1.0 / np.maximum(half_t, tiny), 1.0)),
+        np.where(half_t <= tiny, 1.0, 1.0 / np.maximum(half_t, tiny)),
         half_x)
     t_safe = np.where(half_x <= tiny,
                       np.where(half_t <= tiny, 1.0, half_t),

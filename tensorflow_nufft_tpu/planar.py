@@ -153,8 +153,35 @@ def nufft(source,
     max_bs = options.max_batch_size
     if max_bs is None:
         max_bs = auto_max_batch_size(spec, channels_per_batch=2)
-    return _apply_batched(nufft_core_planar, source, points, spec,
-                          elem_rank, out_elem_shape, max_bs)
+    out = _apply_batched(nufft_core_planar, source, points, spec,
+                         elem_rank, out_elem_shape, max_bs)
+    if options.debugging.check_points_range:
+        out = _poison_if_out_of_range_planar(out, points, options)
+    return out
+
+
+def _poison_if_out_of_range_planar(out, points, options: Options):
+    """Planar twin of the complex API's device-side points-range check
+    (ops/nufft_ops._poison_if_out_of_range; reference:
+    nufft_plan.h:866-898): eager Python error on concrete inputs, NaN
+    poisoning under jit."""
+    from tensorflow_nufft_tpu.options.options import PointsRange
+    if options.points_range == PointsRange.INFINITE:
+        return out
+    bound = np.pi if options.points_range == PointsRange.STRICT \
+        else 3 * np.pi
+    ok = jnp.all((points > -bound) & (points < bound))
+    try:
+        concrete_ok = bool(ok)
+    except jax.errors.TracerBoolConversionError:
+        return jnp.where(ok, out, jnp.asarray(np.nan, out.dtype))
+    if not concrete_ok:
+        raise ValueError(
+            f"points are not within the supported range "
+            f"[-{bound / np.pi:g}*pi, {bound / np.pi:g}*pi]. "
+            "Use a wider options.points_range or disable "
+            "options.debugging.check_points_range.")
+    return out
 
 
 def interp(source, points, tol: float = 1e-6,
@@ -527,12 +554,16 @@ class PlannedNufft:
         """
         source = jnp.asarray(source)
         if not self._planned:
-            if slot_w is not None:
-                raise ValueError(
-                    "slot_w requires the planned (TPU) pipeline")
+            # Unplanned fallback: slot_weights returned the weights in
+            # point order (there is no slot layout); apply them to the
+            # intermediate point values directly.
             t2 = (self if self.transform_type == "type_2"
                   else self.adjoint())
-            return t2.adjoint()(t2(source))
+            vals = t2(source)
+            if slot_w is not None:
+                vals = vals * jax.lax.stop_gradient(
+                    jnp.asarray(slot_w))[None, :, None]
+            return t2.adjoint()(vals)
         return _planned_normal_call(source, slot_w, self)
 
     def _apply_normal(self, source, slot_w=None):
@@ -567,14 +598,21 @@ class PlannedNufft:
         [B, *grid, 2]. A leading batch dim is required (use B=1).
         """
         source = jnp.asarray(source)
+        m = int(self.points.shape[0])
         if self.transform_type == "type_1":
-            expect = 3
+            expect = ("[B, {}, 2]".format(m),)
+            ok = (source.ndim == 3 and source.shape[1] == m
+                  and source.shape[-1] == 2)
         else:
-            expect = len(self.grid_shape) + 2
-        if source.ndim != expect:
+            expect = ("[B, {}, 2]".format(
+                ", ".join(str(g) for g in self.grid_shape)),)
+            ok = (source.ndim == len(self.grid_shape) + 2
+                  and tuple(source.shape[1:-1]) == self.grid_shape
+                  and source.shape[-1] == 2)
+        if not ok:
             raise ValueError(
                 f"planned {self.transform_type} expects a source of "
-                f"rank {expect} (leading batch, trailing (re, im)); "
+                f"shape {expect[0]} (leading batch, trailing (re, im)); "
                 f"got shape {source.shape}")
         if not self._planned:
             return nufft(source, self.points, grid_shape=self.grid_shape,
@@ -685,20 +723,22 @@ class ToeplitzNormal:
             t_np[tuple(idx)] = 0.0
         # Spectrum of the embedded kernel, with the inverse-DFT
         # normalization folded in.
-        spec = dft_planar(jnp.asarray(t_np[None], jnp.float32),
+        # Keep the spectrum (and applies) at the points' precision:
+        # silently truncating f64 pipelines to f32 would stall CG far
+        # above the requested tolerance.
+        real_dt = points.dtype
+        spec = dft_planar(jnp.asarray(t_np[None], real_dt),
                           rank, "forward")[0]
         self.spectrum = jnp.asarray(
             np.asarray(spec, np.float64)
-            / float(np.prod(doubled))).astype(jnp.float32)
+            / float(np.prod(doubled))).astype(real_dt)
 
     def _apply(self, source):
         from tensorflow_nufft_tpu.fft.planar_fft import (
             dft_doubled_planar)
-        z = dft_doubled_planar(source.astype(jnp.float32), self.rank,
-                               forward=True)             # [B, *2N, 2]
-        tr, ti = self.spectrum[..., 0], self.spectrum[..., 1]
-        zr, zi = z[..., 0], z[..., 1]
-        y = jnp.stack([zr * tr - zi * ti, zr * ti + zi * tr], axis=-1)
+        z = dft_doubled_planar(source.astype(self.spectrum.dtype),
+                               self.rank, forward=True)  # [B, *2N, 2]
+        y = pmul(z, self.spectrum)
         out = dft_doubled_planar(y, self.rank, forward=False)
         return out.astype(source.dtype)
 

@@ -253,3 +253,76 @@ class TestToeplitzNormal:
         op = ToeplitzNormal(pts, (16, 16))
         with pytest.raises(ValueError, match="planar"):
             op(jnp.zeros((16, 16, 2)))
+
+
+def test_planar_check_points_range(rng):
+    import tensorflow_nufft_tpu as tfft
+    from tensorflow_nufft_tpu.planar import to_planar
+    opts = tfft.Options(
+        points_range=tfft.PointsRange.STRICT,
+        debugging=tfft.DebuggingOptions(check_points_range=True))
+    src = to_planar(random_complex(rng, (10,), np.complex64))
+    bad = np.full((10, 1), 2 * np.pi, np.float32)
+    # Eager: Python error.
+    with pytest.raises(ValueError, match="supported range"):
+        tfft.planar.nufft(src, bad, grid_shape=(16,),
+                          transform_type="type_1", options=opts)
+    # Under jit: NaN poisoning.
+    out = jax.jit(lambda p: tfft.planar.nufft(
+        src, p, grid_shape=(16,), transform_type="type_1",
+        options=opts))(jnp.asarray(bad))
+    assert not np.isfinite(np.asarray(out)).any()
+    # In-range points unaffected.
+    good = random_points(rng, (10, 1), np.float32)
+    out2 = tfft.planar.nufft(src, good, grid_shape=(16,),
+                             transform_type="type_1", options=opts)
+    assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_planned_shape_validation(rng):
+    import tensorflow_nufft_tpu as tfft
+    pts = random_points(rng, (64, 2), np.float32)
+    op = tfft.planar.PlannedNufft(pts, (16, 16), transform_type="type_1")
+    with pytest.raises(ValueError, match="64"):
+        op(np.zeros((1, 32, 2), np.float32))     # wrong point count
+    op2 = tfft.planar.PlannedNufft(pts, (16, 16),
+                                   transform_type="type_2")
+    with pytest.raises(ValueError, match="16"):
+        op2(np.zeros((1, 8, 16, 2), np.float32))  # wrong grid
+
+
+def test_unplanned_normal_with_weights(rng):
+    # Off-TPU (unplanned) normal() must honor density weights via the
+    # point-order fallback instead of raising.
+    import tensorflow_nufft_tpu as tfft
+    from tensorflow_nufft_tpu.planar import to_planar
+    pts = random_points(rng, (80, 2), np.float32)
+    op = tfft.planar.PlannedNufft(pts, (16, 16), transform_type="type_2")
+    w = rng.uniform(0.5, 2.0, (80,)).astype(np.float32)
+    sw = op.slot_weights(jnp.asarray(w))
+    src = to_planar(random_complex(rng, (1, 16, 16), np.complex64))
+    got = np.asarray(op.normal(src, sw))
+    ref = np.asarray(op.adjoint()(
+        op(src) * jnp.asarray(w)[None, :, None]))
+    np.testing.assert_allclose(got, ref, rtol=1e-5,
+                               atol=1e-5 * np.abs(ref).max())
+
+
+def test_toeplitz_normal_float64(rng):
+    # f64 pipelines keep f64 accuracy through ToeplitzNormal (the
+    # spectrum used to be silently truncated to f32).
+    import tensorflow_nufft_tpu as tfft
+    from tensorflow_nufft_tpu.planar import to_planar
+    from tensorflow_nufft_tpu.models import mri
+    pts = random_points(rng, (100, 2), np.float64)
+    grid = (16, 16)
+    top = tfft.planar.ToeplitzNormal(pts, grid, tol=1e-12)
+    assert top.spectrum.dtype == np.float64
+    src = to_planar(random_complex(rng, (1, 16, 16), np.complex128))
+    got = np.asarray(top(src))
+    t2 = tfft.planar.nufft(src, pts.astype(np.float64),
+                           transform_type="type_2", tol=1e-12)
+    ref = np.asarray(tfft.planar.nufft(
+        t2, pts, grid_shape=grid, transform_type="type_1",
+        fft_direction="backward", tol=1e-12))
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-10

@@ -344,3 +344,17 @@ def test_type3_adversarial_geometries(rng):
     got2 = tfft.nufft_type3(c2, x2, t2, tol=1e-9)
     want2 = tfft.nudft_type3(c2, x2, t2)
     assert _rel_err(got2, want2) <= 1e-8
+
+
+def test_type3_degenerate_x_grid_stays_small(rng):
+    # Regression: a zero-extent points dim with a wide frequency extent
+    # must follow the X_safe = 1/S rule — the grid must NOT scale with
+    # the frequency extent (it used to inflate to ~2*sigma*S/pi).
+    x = np.zeros((100, 1))
+    t = rng.uniform(-4000.0, 4000.0, (50, 1))
+    plan = tfft.Type3Plan(x, t, tol=1e-9)
+    assert plan.fine_shape[0] <= 64
+    c = random_complex(rng, (100,), np.complex128)
+    got = plan(c)
+    want = tfft.nudft_type3(c, x, t)
+    assert _rel_err(got, want) <= 1e-8
