@@ -41,7 +41,7 @@ TOL = 1e-6
 K2 = 64
 SEED = 42
 REF_PATH = pathlib.Path(__file__).parent / "build" / \
-    f"bench_ref_{GRID}_{NUM_POINTS}_{SEED}.npz"
+    f"bench_ref_{GRID}_{NUM_POINTS}_{SEED}_{TOL:g}.npz"
 
 
 def log(msg):

@@ -275,7 +275,11 @@ def _pdot(a: jax.Array, b: jax.Array) -> jax.Array:
 
 def cg_sense(kspace: jax.Array, op: SenseNufft, num_iters: int = 10,
              lamda: float = 0.0) -> jax.Array:
-    """CG-SENSE reconstruction: solves (A^H A + lamda I) x = A^H y.
+    """CG-SENSE reconstruction: solves the (density-weighted) normal
+    equations (A^H W A + lamda I) x = A^H W y, with W = diag(op.density)
+    (identity when no density is set). Note lamda trades off against
+    the data term under W's normalization (radial_density sums to
+    spokes/pi; pipe_menon_density to 1).
 
     Matches the iterative reconstruction demonstrated in the reference's
     MRI notebook, expressed as a jit-friendly lax.fori_loop.

@@ -101,6 +101,7 @@ def spread(strengths: np.ndarray, points_resc: np.ndarray,
            num_threads: int = 0) -> np.ndarray:
     """[batch, M] complex strengths + [M, rank] rescaled points ->
     [batch, *fine_shape] complex fine grid."""
+    _check_width(width)
     rank = points_resc.shape[-1]
     num_points = points_resc.shape[0]
     batch = strengths.shape[0]
@@ -122,10 +123,20 @@ def spread(strengths: np.ndarray, points_resc: np.ndarray,
     return fine.view(c_dt)[..., 0]
 
 
+def _check_width(width: int) -> None:
+    """The C engine's kernel buffers are sized for MAX_KERNEL_WIDTH=16
+    (cc/nufft_cpu.cc); a wider width at this FFI boundary would be a
+    stack buffer overflow, so validate here."""
+    if not 1 <= int(width) <= 16:
+        raise ValueError(
+            f"native engine supports kernel widths 1..16, got {width}")
+
+
 def interp(fine: np.ndarray, points_resc: np.ndarray, width: int,
            beta: float, num_threads: int = 0) -> np.ndarray:
     """[batch, *fine_shape] complex grid + [M, rank] rescaled points ->
     [batch, M] complex values."""
+    _check_width(width)
     rank = points_resc.shape[-1]
     num_points = points_resc.shape[0]
     batch = fine.shape[0]

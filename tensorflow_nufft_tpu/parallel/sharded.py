@@ -112,13 +112,16 @@ def sharded_nufft(source: jax.Array,
         out_spec = P(da, *grid_dims)
     pts_spec = P(pa, None)
 
+    active = tuple(a for a in (da, pa) if a)
+
     def local_fn(src, pts):
-        # The per-device inputs vary over every mesh axis from this
-        # point on (sharded batch/points); mark them so shard_map's
-        # varying-manual-axes check validates the collectives instead
-        # of being disabled wholesale.
-        src = _vary_over(src, mesh.axis_names)
-        pts = _vary_over(pts, mesh.axis_names)
+        # The per-device inputs vary over the ACTIVE mesh axes from
+        # this point on (sharded batch/points); mark them so
+        # shard_map's varying-manual-axes check validates the
+        # collectives. Inactive axes stay replicated — varying over
+        # them would contradict the replicated out_specs.
+        src = _vary_over(src, active)
+        pts = _vary_over(pts, active)
         out = nufft_core_planar(src, pts, spec)
         if transform_type == "type_1" and pa is not None:
             # Each device spread only its local points; reduce fine-grid
@@ -186,8 +189,8 @@ def sharded_nufft_grid(source: jax.Array,
 
     if grid_shape[0] % ndev != 0:
         raise ValueError(
-            f"leading grid dim {grid_shape[0]} must divide the "
-            f"'{grid_axis}' mesh axis size {ndev}")
+            f"the '{grid_axis}' mesh axis size {ndev} must divide the "
+            f"leading grid dim {grid_shape[0]}")
     spec = _make_spec(transform_type, fft_direction, rank, grid_shape,
                       points.dtype, tol, options)
     grid_dims = (None,) * rank
@@ -210,12 +213,20 @@ def sharded_nufft_grid(source: jax.Array,
         # fused DFT + truncate + deconvolve contraction.
         c0, s0 = _mode_twiddles(plan.fine_shape[0], grid_shape[0], sign,
                                 plan.deconv_weights(0), truncating=True)
-        c0 = np.stack(np.split(c0, ndev, axis=1))     # [ndev, nf, slab]
-        s0 = np.stack(np.split(s0, ndev, axis=1))
+        # Shard the leading-axis twiddles over the mesh as operands
+        # ([ndev, nf, slab] with in_spec P(grid_axis, ...)): each device
+        # holds only ITS [nf, slab] block — replicating the full stack
+        # (or inlining it as a jit literal) would defeat the memory
+        # scaling and bloat the remote-compile payload at large grids.
+        rdt = np.float32 if points.dtype == np.float32 else np.float64
+        c0 = jnp.asarray(np.stack(np.split(c0, ndev, axis=1)), rdt)
+        s0 = jnp.asarray(np.stack(np.split(s0, ndev, axis=1)), rdt)
 
-        def local_fn(src, pts):
+        def local_fn(src, pts, cd, sd):
             src = _vary_over(src, (grid_axis,))
             pts = _vary_over(pts, (grid_axis,))
+            cd = _vary_over(cd[0], (grid_axis,))
+            sd = _vary_over(sd[0], (grid_axis,))
             batch = src.shape[0]
             pr = fold_and_rescale_split(pts, plan.fine_shape,
                                         spec.points_range)
@@ -224,12 +235,7 @@ def sharded_nufft_grid(source: jax.Array,
             fine = dispatch.spread(folded, pr, plan)  # [2B, *fine]
             fine = jnp.moveaxis(
                 fine.reshape((batch, 2) + fine.shape[1:]), 1, -1)
-            i = jax.lax.axis_index(grid_axis)
             xr, xi = fine[..., 0], fine[..., 1]
-            cd = jax.lax.dynamic_index_in_dim(
-                jnp.asarray(c0, xr.dtype), i, keepdims=False)
-            sd = jax.lax.dynamic_index_in_dim(
-                jnp.asarray(s0, xr.dtype), i, keepdims=False)
             xr, xi = _contract_planar(xr, xi, cd, sd, 1, precision)
             for d in range(1, rank):
                 c_np, s_np = _mode_twiddles(
@@ -243,9 +249,10 @@ def sharded_nufft_grid(source: jax.Array,
         precision = jax.lax.Precision.HIGHEST
         fn = jax.shard_map(
             local_fn, mesh=mesh,
-            in_specs=(P(None, None, None), P(None, None)),
+            in_specs=(P(None, None, None), P(None, None),
+                      P(grid_axis, None, None), P(grid_axis, None, None)),
             out_specs=P(None, grid_axis, *grid_dims[1:], None))
-        return fn(source, points)
+        return fn(source, points, c0, s0)
 
     def local_fn(src, pts):
         pts = _vary_over(pts, (grid_axis,))
@@ -315,8 +322,8 @@ def sharded_nufft_type3(source: jax.Array,
     npts = mesh.shape[pa] if pa else 1
     if st.num_points % npts or st.num_targets % npts:
         raise ValueError(
-            f"M={st.num_points} and K={st.num_targets} must divide the "
-            f"'{points_axis}' mesh axis size {npts}")
+            f"the '{points_axis}' mesh axis size {npts} must divide "
+            f"both M={st.num_points} and K={st.num_targets}")
 
     xi = jnp.asarray(st.xi.astype(np.float32))
     theta = jnp.asarray(st.theta.astype(np.float32))
@@ -334,6 +341,11 @@ def sharded_nufft_type3(source: jax.Array,
         backend=options.backend,
         kernel_evaluation_method=options.kernel_evaluation_method)
     spread_plan = make_plan(spread_spec)
+    if (spread_plan.width != st.width
+            or spread_plan.fine_shape != st.fine_shape):
+        raise AssertionError(
+            "type-3 spread plan geometry mismatch (statics vs plan); "
+            "see ops/type3.py compute_type3_statics tol clamping")
     t2_spec = PlanSpec(
         transform_type="type_2", fft_direction=fft_direction,
         rank=st.rank, grid_shape=st.fine_shape, dtype_name="complex64",
@@ -342,12 +354,14 @@ def sharded_nufft_type3(source: jax.Array,
 
     from tensorflow_nufft_tpu.planar import pmul
 
+    active = tuple(a for a in (da, pa) if a)
+
     def local_fn(src, xi_l, pre_l, theta_l, post_l):
-        src = _vary_over(src, mesh.axis_names)
-        xi_l = _vary_over(xi_l, mesh.axis_names)
-        pre_l = _vary_over(pre_l, mesh.axis_names)
-        theta_l = _vary_over(theta_l, mesh.axis_names)
-        post_l = _vary_over(post_l, mesh.axis_names)
+        src = _vary_over(src, active)
+        xi_l = _vary_over(xi_l, active)
+        pre_l = _vary_over(pre_l, active)
+        theta_l = _vary_over(theta_l, active)
+        post_l = _vary_over(post_l, active)
         batch = src.shape[0]
         m_local = src.shape[1]
         s = pmul(src, pre_l[None])                  # [B, M_l, 2]

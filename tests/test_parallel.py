@@ -188,3 +188,18 @@ class TestShardedType3:
         mesh = _mesh((2, 4), ("data", "points"))
         with pytest.raises(ValueError, match="divide"):
             sharded_nufft_type3(jnp.asarray(c), x, t, mesh)
+
+
+def test_sharded_inactive_axis(rng, ):
+    # A mesh axis not assigned to data/points must stay replicated:
+    # passing data_axis=None on a two-axis mesh used to trip shard_map's
+    # varying/replication check.
+    grid = (16, 16)
+    m = 64
+    points = random_points(rng, (m, 2), np.float32)
+    src = to_planar(random_complex(rng, (4,) + grid, np.complex64))
+    mesh = _mesh((2, 4), ("data", "points"))
+    got = sharded_nufft(jnp.asarray(src), jnp.asarray(points), mesh,
+                        transform_type="type_2", data_axis=None)
+    ref = tfft.planar.nufft(src, points, transform_type="type_2")
+    assert _relerr(got, ref) <= 1e-5
