@@ -358,3 +358,18 @@ def test_type3_degenerate_x_grid_stays_small(rng):
     got = plan(c)
     want = tfft.nudft_type3(c, x, t)
     assert _rel_err(got, want) <= 1e-8
+
+
+def test_planar_nudft_type3_matches_complex_oracle(rng):
+    x, t = _random_sets(rng, 2, 40, 30, np.float32)
+    c = random_complex(rng, (40,), np.complex64)
+    got = tfft.planar.nudft_type3(to_planar(c), x, t)
+    want = tfft.nudft_type3(c.astype(np.complex128),
+                            x.astype(np.float64), t.astype(np.float64))
+    assert _rel_err(from_planar(got), want) <= 1e-5
+    got_b = tfft.planar.nudft_type3(to_planar(c), x, t,
+                                    fft_direction="backward")
+    want_b = tfft.nudft_type3(c.astype(np.complex128),
+                              x.astype(np.float64),
+                              t.astype(np.float64), "backward")
+    assert _rel_err(from_planar(got_b), want_b) <= 1e-5
