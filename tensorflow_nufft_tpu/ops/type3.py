@@ -296,14 +296,36 @@ class Type3Plan:
                 f"{source.shape}.")
         batch_shape = source.shape[:-1]
         src = source.reshape((-1, self.num_points))
+        b = src.shape[0]
+        # Bound fine-grid memory like the main API (_apply_batched's
+        # max_batch_size chunking): the inner type-2's oversampled grid
+        # dominates.
+        from tensorflow_nufft_tpu.plan.plan import auto_max_batch_size
+        max_bs = self._options.max_batch_size
+        if max_bs is None:
+            max_bs = auto_max_batch_size(self._t2_spec)
+        if b > max_bs:
+            num_chunks = -(-b // max_bs)
+            padded = num_chunks * max_bs
+            src_pad = jnp.concatenate(
+                [src, jnp.zeros((padded - b, self.num_points),
+                                src.dtype)], axis=0)
+            chunks = src_pad.reshape(num_chunks, max_bs, self.num_points)
+            out = jax.lax.map(self._apply_inner, chunks)
+            out = out.reshape(padded, self.num_targets)[:b]
+        else:
+            out = self._apply_inner(src)
+        return out.reshape(batch_shape + (self.num_targets,))
+
+    def _apply_inner(self, src: jax.Array) -> jax.Array:
+        """One inner batch: [B, M] -> [B, K]."""
         src = src * self._prephase
         with prof.scope("nufft3.spread"):
             grid = dispatch.spread(src, self._points_resc,
                                    self._spread_plan)
         with prof.scope("nufft3.inner_t2"):
             vals = nufft_core(grid, self._theta, self._t2_spec)
-        vals = vals * self._postphase
-        return vals.reshape(batch_shape + (self.num_targets,))
+        return vals * self._postphase
 
 
 def nufft_type3(source, points, target_points,

@@ -373,3 +373,17 @@ def test_planar_nudft_type3_matches_complex_oracle(rng):
                               x.astype(np.float64),
                               t.astype(np.float64), "backward")
     assert _rel_err(from_planar(got_b), want_b) <= 1e-5
+
+
+def test_type3_max_batch_size_chunking(rng):
+    # The inner batch is chunked to bound fine-grid memory, matching
+    # the main API's max_batch_size semantics.
+    x, t = _random_sets(rng, 1, 80, 60, np.float64)
+    c = random_complex(rng, (5, 80), np.complex128)
+    opts = tfft.Options(max_batch_size=2)
+    got = tfft.nufft_type3(c, x, t, tol=1e-9, options=opts)
+    ref = tfft.nufft_type3(c, x, t, tol=1e-9)
+    # Chunked vs unchunked schedules reassociate differently: bitwise
+    # equality is not expected, agreement to ~1e-9 is.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-8, atol=1e-8)
