@@ -7,6 +7,7 @@ timeout 240 python -u -c "import jax, jax.numpy as jnp; print('devices', jax.dev
 timeout 1800 python tools/tpu_t3_check.py                 2>&1
 timeout 900  python tools/vpb_variants.py                 2>&1
 timeout 1800 python bench.py                              2>&1
+timeout 7300 python tools/chan_group.py                   2>&1
 # Honest re-measurement of the suite rows recorded pre-honest-timing:
 for c in 2d_t2_256_200k 2d_t1_256_200k_b16_shared 2d_t2_256_200k_b16_shared \
          2d_t2_512_radial_b8 2d_t3_200k_200k cg_sense cg_sense_toeplitz \
