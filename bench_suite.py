@@ -29,6 +29,18 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def peak_bytes():
+    """Best-effort device peak-memory counter (the reference harness
+    records memory via run_op_benchmark, nufft_ops_test.py:728-809).
+    None where the backend does not expose allocator stats."""
+    import jax
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        return stats.get("peak_bytes_in_use")
+    except Exception:
+        return None
+
+
 def marginal_time(make_fn, args, k2=9):
     """Marginal per-iteration time between K=1 and K=k2 chained runs."""
     import jax
@@ -105,13 +117,17 @@ def nufft_case(name, grid_shape, num_points, transform_type,
 
     per = marginal_time(make, (pts,), k2=k2)
     total_pts = num_points * (batch or 1)
-    return {
+    result = {
         "metric": name,
         "value": round(total_pts / per, 1),
         "unit": "points/s",
         "ms_per_transform": round(per * 1e3, 3),
         "planned": bool(op is not None and op._planned),
     }
+    mem = peak_bytes()
+    if mem is not None:
+        result["peak_bytes"] = mem
+    return result
 
 
 def type3_case(k2=7):
@@ -142,7 +158,7 @@ def type3_case(k2=7):
         return f
 
     per = marginal_time(make, (src,), k2=k2)
-    return {
+    result = {
         "metric": "2d_t3_200k_200k",
         "value": round((m + k_targets) / per, 1),
         "unit": "points/s",
@@ -150,6 +166,10 @@ def type3_case(k2=7):
         "fine_shape": list(op.fine_shape),
         "planned_spread": op._spread_level,
     }
+    mem = peak_bytes()
+    if mem is not None:
+        result["peak_bytes"] = mem
+    return result
 
 
 def cg_sense_case(k2=5, toeplitz=False):
@@ -181,11 +201,15 @@ def cg_sense_case(k2=5, toeplitz=False):
 
     per = marginal_time(make, (kspace,), k2=k2)
     suffix = "_toeplitz" if toeplitz else ""
-    return {
+    result = {
         "metric": f"cg_sense_10iter_128_8coil_radial{suffix}",
         "value": round(per * 1e3, 2),
         "unit": "ms/recon",
     }
+    mem = peak_bytes()
+    if mem is not None:
+        result["peak_bytes"] = mem
+    return result
 
 
 def _case_registry(quick: bool):
