@@ -41,6 +41,18 @@ def peak_bytes():
         return None
 
 
+def attach_peak(result, base):
+    """Adds peak_bytes to a case result — only when this case raised
+    the process-cumulative peak past ``base`` (the value at case start),
+    so --inprocess runs never report an earlier, larger case's peak as
+    their own. In the default one-subprocess-per-case mode the baseline
+    is just this case's setup."""
+    p = peak_bytes()
+    if p is not None and (base is None or p > base):
+        result["peak_bytes"] = p
+    return result
+
+
 def marginal_time(make_fn, args, k2=9):
     """Marginal per-iteration time between K=1 and K=k2 chained runs."""
     import jax
@@ -64,6 +76,8 @@ def nufft_case(name, grid_shape, num_points, transform_type,
     import jax.numpy as jnp
     import tensorflow_nufft_tpu as tfft
     from tensorflow_nufft_tpu.planar import to_planar
+
+    mem_base = peak_bytes()
 
     rng = np.random.default_rng(7)
     rank = len(grid_shape)
@@ -124,10 +138,7 @@ def nufft_case(name, grid_shape, num_points, transform_type,
         "ms_per_transform": round(per * 1e3, 3),
         "planned": bool(op is not None and op._planned),
     }
-    mem = peak_bytes()
-    if mem is not None:
-        result["peak_bytes"] = mem
-    return result
+    return attach_peak(result, mem_base)
 
 
 def type3_case(k2=7):
@@ -140,6 +151,7 @@ def type3_case(k2=7):
     import tensorflow_nufft_tpu as tfft
     from tensorflow_nufft_tpu.planar import to_planar
 
+    mem_base = peak_bytes()
     rng = np.random.default_rng(7)
     m = k_targets = 200_000
     x = rng.uniform(-np.pi, np.pi, (m, 2)).astype(np.float32)
@@ -166,10 +178,7 @@ def type3_case(k2=7):
         "fine_shape": list(op.fine_shape),
         "planned_spread": op._spread_level,
     }
-    mem = peak_bytes()
-    if mem is not None:
-        result["peak_bytes"] = mem
-    return result
+    return attach_peak(result, mem_base)
 
 
 def cg_sense_case(k2=5, toeplitz=False):
@@ -177,6 +186,7 @@ def cg_sense_case(k2=5, toeplitz=False):
     import jax.numpy as jnp
     from tensorflow_nufft_tpu.models import mri
 
+    mem_base = peak_bytes()
     grid = (128, 128)
     coils = 8
     spokes, samples = 128, 256
@@ -206,10 +216,7 @@ def cg_sense_case(k2=5, toeplitz=False):
         "value": round(per * 1e3, 2),
         "unit": "ms/recon",
     }
-    mem = peak_bytes()
-    if mem is not None:
-        result["peak_bytes"] = mem
-    return result
+    return attach_peak(result, mem_base)
 
 
 def _case_registry(quick: bool):

@@ -13,7 +13,6 @@ plan execution, the rest are "outer" dims mapped via ``vmap``.
 
 from __future__ import annotations
 
-import math
 from typing import Optional, Tuple
 
 import jax
@@ -28,6 +27,7 @@ from tensorflow_nufft_tpu.options.options import Options
 from tensorflow_nufft_tpu.plan.plan import (
     PlanSpec, auto_max_batch_size, log_plan_summary,
     warn_if_tol_clamped)
+from tensorflow_nufft_tpu.utils.batching import chunked_map
 from tensorflow_nufft_tpu.utils.dtypes import real_dtype
 
 _VALID_TRANSFORM_TYPES = ("type_1", "type_2")
@@ -133,17 +133,8 @@ def _apply_batched(core_fn, source, points, spec,
         if max_batch_size is not None and inner_size > max_batch_size:
             # Chunk the inner batch to bound fine-grid memory
             # (reference: max_batch_size option, nufft_options.py:239-243).
-            num_chunks = math.ceil(inner_size / max_batch_size)
-            padded = num_chunks * max_batch_size
-            src_pad = jnp.concatenate(
-                [src_i, jnp.zeros((padded - inner_size,) + elem_shape,
-                                  src_i.dtype)], axis=0)
-            src_chunks = src_pad.reshape((num_chunks, max_batch_size)
-                                         + elem_shape)
-            out_chunks = jax.lax.map(
-                lambda s: core_fn(s, pts_i, spec), src_chunks)
-            out = out_chunks.reshape((padded,) + out_elem_shape)
-            return out[:inner_size]
+            return chunked_map(lambda s: core_fn(s, pts_i, spec),
+                               src_i, max_batch_size)
         return core_fn(src_i, pts_i, spec)
 
     if outer_size == 1:

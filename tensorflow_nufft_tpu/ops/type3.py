@@ -49,8 +49,9 @@ from tensorflow_nufft_tpu.kernels.xla_ops import fold_and_rescale_split
 from tensorflow_nufft_tpu.ops.core import nufft_core
 from tensorflow_nufft_tpu.options.options import Options
 from tensorflow_nufft_tpu.plan.plan import (
-    EPSILON, MAX_ARRAY_SIZE, PlanSpec, es_kernel_np, kernel_beta,
-    make_plan, select_kernel_width)
+    EPSILON, MAX_ARRAY_SIZE, PlanSpec, auto_max_batch_size, es_kernel_np,
+    kernel_beta, make_plan, select_kernel_width)
+from tensorflow_nufft_tpu.utils.batching import chunked_map
 from tensorflow_nufft_tpu.utils.dtypes import real_dtype
 from tensorflow_nufft_tpu.utils import profiling as prof
 from tensorflow_nufft_tpu.utils.smooth import next_smooth_integer
@@ -296,25 +297,13 @@ class Type3Plan:
                 f"{source.shape}.")
         batch_shape = source.shape[:-1]
         src = source.reshape((-1, self.num_points))
-        b = src.shape[0]
         # Bound fine-grid memory like the main API (_apply_batched's
         # max_batch_size chunking): the inner type-2's oversampled grid
         # dominates.
-        from tensorflow_nufft_tpu.plan.plan import auto_max_batch_size
         max_bs = self._options.max_batch_size
         if max_bs is None:
             max_bs = auto_max_batch_size(self._t2_spec)
-        if b > max_bs:
-            num_chunks = -(-b // max_bs)
-            padded = num_chunks * max_bs
-            src_pad = jnp.concatenate(
-                [src, jnp.zeros((padded - b, self.num_points),
-                                src.dtype)], axis=0)
-            chunks = src_pad.reshape(num_chunks, max_bs, self.num_points)
-            out = jax.lax.map(self._apply_inner, chunks)
-            out = out.reshape(padded, self.num_targets)[:b]
-        else:
-            out = self._apply_inner(src)
+        out = chunked_map(self._apply_inner, src, max_bs)
         return out.reshape(batch_shape + (self.num_targets,))
 
     def _apply_inner(self, src: jax.Array) -> jax.Array:

@@ -28,6 +28,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from tensorflow_nufft_tpu.ops.planar_core import nufft_core_planar
 from tensorflow_nufft_tpu.options.options import Options
 from tensorflow_nufft_tpu.plan.plan import PlanSpec
+from tensorflow_nufft_tpu.utils.batching import chunked_map
 
 
 def _make_spec(transform_type, fft_direction, rank, grid_shape, dtype,
@@ -362,23 +363,36 @@ def sharded_nufft_type3(source: jax.Array,
         pre_l = _vary_over(pre_l, active)
         theta_l = _vary_over(theta_l, active)
         post_l = _vary_over(post_l, active)
-        batch = src.shape[0]
         m_local = src.shape[1]
-        s = pmul(src, pre_l[None])                  # [B, M_l, 2]
-        resc = fold_and_rescale_split(xi_l, st.fine_shape, 0)
-        cm = jnp.moveaxis(s, -1, 1).reshape(2 * batch, m_local)
-        fine = dispatch.spread(cm, resc, spread_plan)
-        if pa is not None:
-            # Each device spread only its local points: reduce the
-            # fine grid over the points axis (linear, so reducing the
-            # raw spread is exact). The psum result is axis-invariant;
-            # re-mark it varying so the per-device inner type-2 (local
-            # theta shard) composes under the vma check.
-            fine = _vary_over(jax.lax.psum(fine, pa), (pa,))
-        grid = jnp.moveaxis(
-            fine.reshape((batch, 2) + st.fine_shape), 1, -1)
-        vals = nufft_core_planar(grid, theta_l, t2_spec)   # [B, K_l, 2]
-        return pmul(vals, post_l[None])
+
+        def one_chunk(src_c):
+            batch = src_c.shape[0]
+            s = pmul(src_c, pre_l[None])            # [Bc, M_l, 2]
+            resc = fold_and_rescale_split(xi_l, st.fine_shape, 0)
+            cm = jnp.moveaxis(s, -1, 1).reshape(2 * batch, m_local)
+            fine = dispatch.spread(cm, resc, spread_plan)
+            if pa is not None:
+                # Each device spread only its local points: reduce the
+                # fine grid over the points axis (linear, so reducing
+                # the raw spread is exact). The psum result is
+                # axis-invariant; re-mark it varying so the per-device
+                # inner type-2 (local theta shard) composes under the
+                # vma check.
+                fine = _vary_over(jax.lax.psum(fine, pa), (pa,))
+            grid = jnp.moveaxis(
+                fine.reshape((batch, 2) + st.fine_shape), 1, -1)
+            vals = nufft_core_planar(grid, theta_l,
+                                     t2_spec)       # [Bc, K_l, 2]
+            return pmul(vals, post_l[None])
+
+        # Honor the user's max_batch_size on the per-device batch shard
+        # (fine-grid memory bound, like the plan APIs). Only when set
+        # explicitly: every device runs the same static chunk count, so
+        # the per-chunk psum stays collective-safe.
+        max_bs = options.max_batch_size
+        if max_bs is not None:
+            return chunked_map(one_chunk, src, max_bs)
+        return one_chunk(src)
 
     fn = jax.shard_map(
         local_fn, mesh=mesh,

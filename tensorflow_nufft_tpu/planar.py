@@ -945,6 +945,8 @@ class Type3Plan:
 
     def __call__(self, source):
         """Applies the transform: planar [B, M, 2] -> [B, K, 2]."""
+        from tensorflow_nufft_tpu.plan.plan import auto_max_batch_size
+        from tensorflow_nufft_tpu.utils.batching import chunked_map
         source = jnp.asarray(source)
         if source.dtype != np.float32:
             raise TypeError(
@@ -954,7 +956,14 @@ class Type3Plan:
             raise ValueError(
                 f"planned planar type-3 expects a source of shape "
                 f"[B, {self.num_points}, 2]; got {source.shape}")
-        return _type3_call(source, self)
+        # Bound fine-grid memory like the complex twin (ops/type3.py):
+        # the spread materializes [2B, *fine_shape] before the inner
+        # type-2, so chunk the batch at max_batch_size.
+        max_bs = self.options.max_batch_size
+        if max_bs is None:
+            max_bs = auto_max_batch_size(self._inner_t2.plan.spec)
+        return chunked_map(lambda s: _type3_call(s, self), source,
+                           max_bs)
 
 
 def nufft_type3(source, points, target_points,

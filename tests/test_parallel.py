@@ -189,6 +189,19 @@ class TestShardedType3:
         with pytest.raises(ValueError, match="divide"):
             sharded_nufft_type3(jnp.asarray(c), x, t, mesh)
 
+    def test_max_batch_size_chunking(self, rng):
+        # options.max_batch_size chunks the per-device batch shard; the
+        # per-chunk psum runs the same static count on every device.
+        from tensorflow_nufft_tpu.parallel import sharded_nufft_type3
+        x, t, c = self._sets(rng)
+        mesh = _mesh((8,), ("points",))   # full batch (4) per device
+        opts = tfft.Options(max_batch_size=2)
+        got = sharded_nufft_type3(jnp.asarray(c), x, t, mesh, tol=1e-5,
+                                  data_axis=None, options=opts)
+        ref = sharded_nufft_type3(jnp.asarray(c), x, t, mesh, tol=1e-5,
+                                  data_axis=None)
+        assert _relerr(got, ref) <= 1e-6
+
 
 def test_sharded_inactive_axis(rng, ):
     # A mesh axis not assigned to data/points must stay replicated:

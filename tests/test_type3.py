@@ -387,3 +387,27 @@ def test_type3_max_batch_size_chunking(rng):
     # equality is not expected, agreement to ~1e-9 is.
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-8, atol=1e-8)
+
+
+def test_planar_type3_max_batch_size_chunking(rng):
+    # The planar twin honors max_batch_size too (same chunked_map path),
+    # including through the custom-VJP gradient.
+    x, t = _random_sets(rng, 1, 80, 60, np.float32)
+    c = to_planar(random_complex(rng, (5, 80), np.complex64))
+    opts = tfft.Options(max_batch_size=2)
+    plan_chunked = tfft.planar.Type3Plan(x, t, tol=1e-6, options=opts)
+    plan_whole = tfft.planar.Type3Plan(x, t, tol=1e-6)
+    got = plan_chunked(jnp.asarray(c))
+    ref = plan_whole(jnp.asarray(c))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    ct = jnp.asarray(to_planar(random_complex(rng, (5, 60),
+                                              np.complex64)))
+    g_chunked = jax.grad(lambda s: jnp.sum(plan_chunked(s) * ct))(
+        jnp.asarray(c))
+    g_whole = jax.grad(lambda s: jnp.sum(plan_whole(s) * ct))(
+        jnp.asarray(c))
+    np.testing.assert_allclose(np.asarray(g_chunked),
+                               np.asarray(g_whole),
+                               rtol=1e-4, atol=1e-4)

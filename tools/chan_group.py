@@ -37,6 +37,11 @@ def run_one(width: int) -> None:
 
     op = tfft.planar.PlannedNufft(pts, (GRID, GRID),
                                   transform_type="type_1", tol=TOL)
+    if not op._planned:
+        print(f"width={width}: planned Pallas path NOT selected "
+              f"(backend={jax.default_backend()}, level={op._level}) — "
+              f"nothing to measure", flush=True)
+        return
     from tensorflow_nufft_tpu.kernels.pallas_spread import (
         resident_group_size, streaming_group_size)
     print(f"width={width}: stream_group={streaming_group_size(op.geom)} "
@@ -69,11 +74,16 @@ def run_one(width: int) -> None:
 def main():
     for width in (8, 16, 32):
         print(f"=== MAX_CHANNELS={width} ===", flush=True)
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), str(width)],
-            cwd=REPO, timeout=2400)
-        if r.returncode != 0:
-            print(f"width={width}: FAILED rc={r.returncode}", flush=True)
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), str(width)],
+                cwd=REPO, timeout=2400)
+            if r.returncode != 0:
+                print(f"width={width}: FAILED rc={r.returncode}",
+                      flush=True)
+        except subprocess.TimeoutExpired:
+            # One hung remote compile must not kill the sweep.
+            print(f"width={width}: TIMEOUT after 2400s", flush=True)
 
 
 if __name__ == "__main__":

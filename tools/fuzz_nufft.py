@@ -27,7 +27,10 @@ for i in range(N_CASES):
     sb = tuple(int(d) for d in rng.integers(1, 3, size=rng.integers(0, 3)))
     gate = 50 * max(tol, 4e-6 if dtype == np.complex64 else 0)
     gate = max(gate, 1e-4 if dtype == np.complex64 else 1e-11)
-    desc = f"[{i}] {tt} {fd} r{rank} dims={dims} m={m} {np.dtype(dtype).name} tol={tol:g} pr={prange} kev={kev} sb={sb}"
+    # type-3 takes arbitrary-range points by design: points_range does
+    # not apply, so log pr=na there (the call below omits it).
+    pr_desc = "na" if tt == "type_3" else str(prange)
+    desc = f"[{i}] {tt} {fd} r{rank} dims={dims} m={m} {np.dtype(dtype).name} tol={tol:g} pr={pr_desc} kev={kev} sb={sb}"
     try:
         opts = tfft.Options(points_range=tfft.PointsRange(prange),
                             kernel_evaluation_method=str(kev))

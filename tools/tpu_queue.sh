@@ -12,6 +12,8 @@ timeout 7300 python tools/chan_group.py                   2>&1
 for c in 2d_t2_256_200k 2d_t1_256_200k_b16_shared 2d_t2_256_200k_b16_shared \
          2d_t2_512_radial_b8 2d_t3_200k_200k cg_sense cg_sense_toeplitz \
          3d_t1_128_800k; do
-  timeout 4200 python bench_suite.py --case "$c" 2>/dev/null
+  # Keep stderr: it carries the backend line + accuracy/timing detail,
+  # and a crashed case must be distinguishable from a down relay.
+  timeout 4200 python bench_suite.py --case "$c" 2>&1
 done
 echo "== QUEUE DONE =="
