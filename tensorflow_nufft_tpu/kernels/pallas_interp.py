@@ -71,15 +71,6 @@ def chunk_interp_values(f_block, mats_t, geom: TileGeometry):
     return jnp.sum(w * v, axis=0)                            # [C]
 
 
-def _interp_chunk_values(tile_ref, mats_t, geom: TileGeometry,
-                         batch2: int):
-    """[B2, C] values of one chunk from the (single-tile) block."""
-    rank = geom.rank
-    return jnp.stack([
-        chunk_interp_values(tile_ref[(0,) * rank + (b,)], mats_t, geom)
-        for b in range(batch2)], axis=0)
-
-
 def _interp_chunk_subchunk(tile_ref, mats_t, out_scratch, oslot,
                            geom: TileGeometry, batch2: int, mref):
     """Rank-3 chunk values in RANK3_SUB-lane sub-chunks, written
@@ -149,6 +140,24 @@ def _interp_chunk_values_mats_t(tile_ref, tids, mats_t,
         for b in range(batch2)], axis=0)
 
 
+def interp_channels_into(out_scratch, oslot, tile_ref, tids, mats_t,
+                         geom: TileGeometry, batch2: int):
+    """Writes one chunk's [B2, C] values into ``out_scratch[oslot]``,
+    either with the static channel unroll or (pallas_spread.CHANNEL_LOOP)
+    a lax.fori_loop that reuses one channel's contraction temporaries —
+    see the flag's doc for the multicoil trade."""
+    from tensorflow_nufft_tpu.kernels import pallas_spread
+    if pallas_spread.CHANNEL_LOOP and batch2 > 1:
+        def body(b, _):
+            out_scratch[oslot, b, :] = chunk_interp_values(
+                tile_ref[tuple(tids) + (b,)], mats_t, geom)
+            return 0
+        jax.lax.fori_loop(0, batch2, body, 0)
+        return
+    out_scratch[oslot] = _interp_chunk_values_mats_t(
+        tile_ref, tids, mats_t, geom, batch2)
+
+
 def _interp_kernel_resident_mats(*refs, geom: TileGeometry, batch2):
     """Resident interp consuming precomputed kernel matrices.
 
@@ -200,8 +209,8 @@ def _interp_kernel_resident_mats(*refs, geom: TileGeometry, batch2):
         @pl.when(k >= 2)
         def _():
             write_dma(oslot, k - 2).wait()
-        out_scratch[oslot] = _interp_chunk_values_mats_t(
-            tile_ref, tids, mats_t, geom, batch2)
+        interp_channels_into(out_scratch, oslot, tile_ref, tids, mats_t,
+                             geom, batch2)
         write_dma(oslot, k).start()
         return 0
 
@@ -262,8 +271,8 @@ def _interp_kernel(bounds_ref, payload_hbm, tile_ref, out_hbm,
             _interp_chunk_subchunk(tile_ref, mats, out_scratch, oslot,
                                    geom, batch2, mref)
         else:
-            out_scratch[oslot] = _interp_chunk_values(tile_ref, mats,
-                                                      geom, batch2)
+            interp_channels_into(out_scratch, oslot, tile_ref,
+                                 (0,) * geom.rank, mats, geom, batch2)
         write_dma(oslot, k).start()
         return 0
 
@@ -331,8 +340,8 @@ def _interp_kernel_mats(*refs, geom: TileGeometry, batch2):
                                         batch2)
         else:
             mats_t = _mats_slices(m_scratch, slot, geom)
-            out_scratch[oslot] = _interp_chunk_values(tile_ref, mats_t,
-                                                      geom, batch2)
+            interp_channels_into(out_scratch, oslot, tile_ref,
+                                 (0,) * rank, mats_t, geom, batch2)
         write_dma(oslot, k).start()
         return 0
 

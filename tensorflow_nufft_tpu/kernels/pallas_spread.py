@@ -57,6 +57,21 @@ _MXU_PRECISION = jax.lax.Precision.HIGHEST
 # Mosaic compile (and VMEM); bigger batches run as grouped calls.
 MAX_CHANNELS = 8
 
+# In-kernel channel loop (BENCH_NOTES "multicoil mats re-streaming",
+# candidate 2): iterate channels with lax.fori_loop instead of the
+# static unroll, so the per-channel contraction stack temporaries are
+# REUSED across channels instead of coexisting. The VMEM stack model
+# then counts one channel, admitting wider channel groups (raise
+# MAX_CHANNELS alongside) so multi-coil planned transforms re-stream
+# the shared kernel-matrix payload fewer times. Off by default until
+# measured on hardware (tools/chan_group.py sweeps both axes): the
+# loop may cost MXU pipelining. Set BEFORE constructing plans/payloads
+# so the group-size models and the traced kernels agree. Applies to
+# the rank-1/2 kernels and the rank-3 resident kernel; the rank-3
+# sub-chunk kernels keep the static unroll (their dominant stack term
+# is already channel-independent).
+CHANNEL_LOOP = False
+
 
 def use_interpret() -> bool:
     """Interpreter mode off-TPU so the kernels are testable on CPU."""
@@ -241,6 +256,14 @@ def accumulate_spread(tile_ref, mats_t, data, geom: TileGeometry,
     """Adds one chunk's contribution into the (single-tile) output
     block. data rows [rank_offset + b] are the per-channel strengths."""
     rank = geom.rank
+    if CHANNEL_LOOP and batch2 > 1:
+        def body(b, _):
+            contrib = chunk_contribution(
+                mats_t, data[rank_offset + b, :], geom)
+            tile_ref[(0,) * rank + (b,)] += contrib
+            return 0
+        jax.lax.fori_loop(0, batch2, body, 0)
+        return
     for b in range(batch2):             # static unroll over channels
         contrib = chunk_contribution(mats_t, data[rank_offset + b, :],
                                      geom)
@@ -289,7 +312,9 @@ def _stack_bytes(geom: TileGeometry, batch2: int) -> int:
         rows, copies = geom.ext[0] * geom.ext[1], 7
     else:
         rows, copies = max(geom.ext), 1
-    return 4 * batch2 * copies * rows * geom.chunk
+    # The in-kernel channel loop reuses one channel's temporaries.
+    eff = 1 if CHANNEL_LOOP else batch2
+    return 4 * eff * copies * rows * geom.chunk
 
 
 def _scratch_bytes(geom: TileGeometry, batch2: int) -> int:
@@ -367,6 +392,14 @@ def accumulate_spread_at(out_ref, tids, mats_t, data,
                          geom: TileGeometry, batch2: int,
                          rank_offset: int):
     """accumulate_spread with dynamic leading tile indices ``tids``."""
+    if CHANNEL_LOOP and batch2 > 1:
+        def body(b, _):
+            contrib = chunk_contribution(
+                mats_t, data[rank_offset + b, :], geom)
+            out_ref[tuple(tids) + (b,)] += contrib
+            return 0
+        jax.lax.fori_loop(0, batch2, body, 0)
+        return
     for b in range(batch2):             # static unroll over channels
         contrib = chunk_contribution(mats_t, data[rank_offset + b, :],
                                      geom)
