@@ -178,8 +178,45 @@ def main():
     }))
 
 
+def watchdog():
+    """Run the bench in a timeout-bounded child, retrying on hangs.
+
+    The relay's remote-compile service occasionally hangs a compile
+    indefinitely (CLAUDE.md); a hang here would cost the whole
+    measurement. Retries are cheap: the compile service caches, so a
+    second attempt skips straight past any graph the first one got
+    through. The child's stderr streams through; its final stdout JSON
+    line is forwarded."""
+    deadline_s = int(os.environ.get("BENCH_WATCHDOG_TIMEOUT", "1500"))
+    attempts = int(os.environ.get("BENCH_WATCHDOG_ATTEMPTS", "3"))
+    for attempt in range(1, attempts + 1):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--run"],
+                cwd=pathlib.Path(__file__).parent,
+                stdout=subprocess.PIPE, timeout=deadline_s, text=True)
+        except subprocess.TimeoutExpired:
+            log(f"bench watchdog: attempt {attempt}/{attempts} timed "
+                f"out after {deadline_s}s (relay hang?); retrying")
+            continue
+        lines = [ln for ln in (r.stdout or "").splitlines()
+                 if ln.strip().startswith("{")]
+        if r.returncode == 0 and lines:
+            print(lines[-1])
+            return
+        log(f"bench watchdog: attempt {attempt}/{attempts} failed "
+            f"(rc={r.returncode}); retrying")
+    log("bench watchdog: all attempts failed — reporting 0")
+    print(json.dumps({
+        "metric": "nufft_2d_type1_256_eps1e-6_c64_throughput",
+        "value": 0.0, "unit": "points/s", "vs_baseline": 0.0,
+    }))
+
+
 if __name__ == "__main__":
     if "--make-ref" in sys.argv:
         make_ref()
-    else:
+    elif "--run" in sys.argv:
         main()
+    else:
+        watchdog()
