@@ -359,7 +359,8 @@ def _interp_kernel_mats(*refs, geom: TileGeometry, batch2):
 def interp_pallas_tiled(tiles: jax.Array, points_resc,
                         plan: NufftPlan, geom: TileGeometry,
                         binned=None, mats=None,
-                        coords=None, chunk_order=False) -> jax.Array:
+                        coords=None, chunk_order=False,
+                        out_vma=None) -> jax.Array:
     """[*tiles, B2, *ext] extended blocks + rescaled points ->
     [B2, M]. The halo windowing is the caller's (fused into the upstream
     contraction by amplify_pad_dft_tiled, or done by extend_tiles).
@@ -399,15 +400,16 @@ def interp_pallas_tiled(tiles: jax.Array, points_resc,
         for i in range(0, batch2, group):
             sl = (slice(None),) * rank + (slice(i, i + group),)
             groups.append(_interp_group(tiles[sl], binned, payload,
-                                        plan, geom, mats, chunk_order))
+                                        plan, geom, mats, chunk_order,
+                                        out_vma))
         return jnp.concatenate(groups, axis=0)
     return _interp_group(tiles, binned, payload, plan, geom, mats,
-                         chunk_order)
+                         chunk_order, out_vma)
 
 
 def _interp_group(tiles, binned, payload, plan: NufftPlan,
                   geom: TileGeometry, mats=None,
-                  chunk_order=False) -> jax.Array:
+                  chunk_order=False, out_vma=None) -> jax.Array:
     from tensorflow_nufft_tpu.kernels.pallas_spread import resident_fits
     rank = geom.rank
     batch2 = tiles.shape[rank]
@@ -431,7 +433,8 @@ def _interp_group(tiles, binned, payload, plan: NufftPlan,
                               geom=geom, batch2=batch2),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct(
-                (geom.num_chunks, batch2, geom.chunk), jnp.float32),
+                (geom.num_chunks, batch2, geom.chunk), jnp.float32,
+                vma=out_vma),
             interpret=use_interpret(),
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
         )(binned.tile_bounds, *binned.chunk_tidx, mats,
@@ -468,7 +471,8 @@ def _interp_group(tiles, binned, payload, plan: NufftPlan,
                               batch2=batch2),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct(
-                (geom.num_chunks, batch2, geom.chunk), jnp.float32),
+                (geom.num_chunks, batch2, geom.chunk), jnp.float32,
+                vma=out_vma),
             interpret=use_interpret(),
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
         )(binned.tile_bounds, mats, tiles.astype(jnp.float32))
@@ -510,7 +514,8 @@ def _interp_group(tiles, binned, payload, plan: NufftPlan,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (geom.num_chunks, batch2, geom.chunk), jnp.float32),
+            (geom.num_chunks, batch2, geom.chunk), jnp.float32,
+            vma=out_vma),
         interpret=use_interpret(),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(binned.tile_bounds, payload, tiles.astype(jnp.float32))

@@ -785,7 +785,8 @@ def _spread_kernel_mats(*refs, geom: TileGeometry, batch2):
 
 def spread_pallas_tiles(strengths_cm: jax.Array, points_resc,
                         plan: NufftPlan, binned=None, mats=None,
-                        coords=None, values_slots=None, geom=None):
+                        coords=None, values_slots=None, geom=None,
+                        out_vma=None):
     """[B2, M] channel-major real strengths + rescaled points (or
     (hi, lo) pair) -> ([*tiles, B2, *ext] extended tile blocks, geom).
 
@@ -844,17 +845,18 @@ def spread_pallas_tiles(strengths_cm: jax.Array, points_resc,
                 else strengths_cm[i:i + group],
                 binned, coords_pl, geom, plan, mats, combined,
                 None if values_slots is None
-                else values_slots[i:i + group])
+                else values_slots[i:i + group], out_vma)
             groups.append(g_tiles)
         return jnp.concatenate(groups, axis=rank), geom
     tiles, _ = _spread_group(strengths_cm, binned, coords_pl, geom,
-                             plan, mats, combined, values_slots)
+                             plan, mats, combined, values_slots,
+                             out_vma)
     return tiles, geom
 
 
 def _spread_group(strengths_cm, binned, coords_pl, geom: TileGeometry,
                   plan: NufftPlan, mats=None, combined=False,
-                  values_slots=None):
+                  values_slots=None, out_vma=None):
     batch2 = (strengths_cm if values_slots is None
               else values_slots).shape[0]
     rank = geom.rank
@@ -862,8 +864,10 @@ def _spread_group(strengths_cm, binned, coords_pl, geom: TileGeometry,
         geom=geom, beta=np.float32(plan.beta), c=np.float32(plan.c),
         half_width=np.float32(plan.half_width), batch2=batch2,
         horner=horner_static(plan))
+    # out_vma: varying-manual-axes for pallas_call outputs inside
+    # shard_map (check_vma requires it on ShapeDtypeStruct).
     out_shape = jax.ShapeDtypeStruct(
-        geom.tiles + (batch2,) + geom.ext, jnp.float32)
+        geom.tiles + (batch2,) + geom.ext, jnp.float32, vma=out_vma)
 
     # Planned path: precomputed kernel matrices (pure DMA + MXU kernel).
     # Not the default because XLA does not hoist the ~100 MB matrix

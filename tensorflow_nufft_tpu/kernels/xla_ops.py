@@ -187,7 +187,11 @@ def _match_vma(init: jax.Array, like: jax.Array) -> jax.Array:
     shard_map manual axes as ``like``, so carry-in and carry-out types
     agree under shard_map's vma check (no-op outside shard_map)."""
     vma = jax.typeof(like).vma
-    return jax.lax.pvary(init, tuple(vma)) if vma else init
+    if not vma:
+        return init
+    if hasattr(jax.lax, "pcast"):       # pvary deprecated in newer jax
+        return jax.lax.pcast(init, tuple(vma), to="varying")
+    return jax.lax.pvary(init, tuple(vma))
 
 
 def spread_geometry(points_resc, plan: NufftPlan

@@ -19,10 +19,12 @@ Gradients work through ``shard_map`` (psum transposes automatically).
 
 from __future__ import annotations
 
+import functools as _functools
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from tensorflow_nufft_tpu.ops.planar_core import nufft_core_planar
@@ -400,3 +402,374 @@ def sharded_nufft_type3(source: jax.Array,
                   P(pa, None), P(pa, None)),
         out_specs=P(da, pa, None))
     return fn(source, xi, pre, theta, post)
+
+
+# ---------------------------------------------------------------------------
+# Planned + sharded: the production iterative-recon path.
+# ---------------------------------------------------------------------------
+
+
+
+def _planned_vma_check() -> bool:
+    """Whether the planned sharded paths can run shard_map's
+    varying-manual-axes verification. On TPU the Pallas kernels are
+    sealed custom calls and checking stays ON; in interpret mode (CPU
+    tests) the Pallas HLO interpreter evaluates the kernel body inside
+    shard_map and does not propagate vma onto in-kernel index
+    arithmetic (program ids, loop counters), tripping the checker on
+    every ref read — so checking is disabled ONLY there (the unplanned
+    sharded paths keep it on everywhere)."""
+    from tensorflow_nufft_tpu.kernels.pallas_spread import use_interpret
+    return not use_interpret()
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _sharded_planned_call(source, op):
+    return op._apply(source)
+
+
+def _sharded_planned_fwd(source, op):
+    return _sharded_planned_call(source, op), None
+
+
+def _sharded_planned_bwd(op, _, cotangent):
+    # Real transpose == adjoint: swap type AND direction; the adjoint
+    # shares every points-side artifact (see planar._planned_bwd).
+    return (_sharded_planned_call(cotangent, op.adjoint()),)
+
+
+_sharded_planned_call.defvjp(_sharded_planned_fwd, _sharded_planned_bwd)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _sharded_normal_call(source, slot_w, op):
+    return op._apply_normal(source, slot_w)
+
+
+def _sharded_normal_fwd(source, slot_w, op):
+    return _sharded_normal_call(source, slot_w, op), slot_w
+
+
+def _sharded_normal_bwd(op, slot_w, cotangent):
+    # A^H W A with real W is self-adjoint (planar._planned_normal_bwd).
+    return (_sharded_normal_call(cotangent, slot_w, op),
+            None if slot_w is None else jnp.zeros_like(slot_w))
+
+
+_sharded_normal_call.defvjp(_sharded_normal_fwd, _sharded_normal_bwd)
+
+
+class ShardedPlannedNufft:
+    """Planned planar NUFFT over a device mesh.
+
+    Combines the planned (guru) pipeline — binning, chunk payloads and
+    ES kernel matrices hoisted to plan time (``planar.PlannedNufft``) —
+    with SPMD execution: the batch/coil axis shards over ``data_axis``
+    and the point set over ``points_axis``. Each device owns one point
+    shard's planned artifacts, built host-side per shard and stacked on
+    a leading shard axis that ``shard_map`` splits over the mesh; the
+    Pallas kernels then run unchanged on device-local data. Type-1
+    psums the (deconvolved) mode outputs over the points axis — the
+    collective dual of the reference's atomic adds; type-2 needs no
+    collectives. No reference counterpart (it has no distributed layer,
+    SURVEY.md section 2).
+
+    Differentiable w.r.t. ``source`` via the shared-artifact adjoint.
+    Falls back to the unplanned ``sharded_nufft`` where the planned
+    Pallas path is not served (off-TPU tests still shard; they run the
+    kernels in interpret mode).
+
+    Args:
+        points: concrete ``[M, rank]`` radians in ``[-pi, pi]``. ``M``
+            must divide evenly by the points-axis size.
+        grid_shape: the mode grid.
+        mesh: the device mesh.
+        data_axis / points_axis: mesh axis names (pass None to skip an
+            axis; absent names are ignored like ``sharded_nufft``).
+
+    Apply: type-2 ``[B, *grid, 2] -> [B, M, 2]``; type-1
+    ``[B, M, 2] -> [B, *grid, 2]``. ``B`` must divide evenly by the
+    data-axis size.
+    """
+
+    def __init__(self, points, grid_shape, mesh: Mesh,
+                 transform_type: str = "type_2",
+                 fft_direction: str = "forward", tol: float = 1e-6,
+                 options: Optional[Options] = None,
+                 data_axis: Optional[str] = "data",
+                 points_axis: Optional[str] = "points"):
+        from tensorflow_nufft_tpu.planar import PlannedNufft
+
+        pts = _np.asarray(points)
+        if pts.ndim != 2:
+            raise ValueError(
+                f"planned transforms take a single [M, rank] point "
+                f"set, got shape {pts.shape}")
+        self.mesh = mesh
+        self.data_axis = (data_axis if data_axis
+                          and data_axis in mesh.axis_names else None)
+        self.points_axis = (points_axis if points_axis
+                            and points_axis in mesh.axis_names else None)
+        s = (mesh.shape[self.points_axis] if self.points_axis else 1)
+        m = pts.shape[0]
+        if m % s:
+            raise ValueError(
+                f"num_points {m} must divide evenly over the "
+                f"points axis (size {s})")
+        self.points = pts
+        self.num_points = m
+        self._num_shards = s
+        shard_pts = pts.reshape(s, m // s, pts.shape[-1])
+        self._shards = [
+            PlannedNufft(shard_pts[i], grid_shape,
+                         transform_type=transform_type,
+                         fft_direction=fft_direction, tol=tol,
+                         options=options)
+            for i in range(s)
+        ]
+        p0 = self._shards[0]
+        self.grid_shape = p0.grid_shape
+        self.transform_type = transform_type
+        self.fft_direction = fft_direction
+        self.tol = p0.tol
+        self.options = p0.options
+        self._adjoint = None
+        # Equal shard sizes -> identical static geometry/level across
+        # shards (choose_geometry is a pure function of
+        # (fine_shape, width, m)).
+        self._planned = all(sh._planned for sh in self._shards)
+        if not self._planned:
+            return
+        self.plan = p0.plan
+        self.geom = p0.geom
+        self._level = p0._level
+        assert all(sh.geom == p0.geom and sh._level == p0._level
+                   for sh in self._shards)
+        self._arts = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[(sh.points_resc, sh.binned,
+               sh.mats if self._level == "mats" else sh.coords)
+              for sh in self._shards])
+
+    # -- plumbing -----------------------------------------------------
+
+    def adjoint(self) -> "ShardedPlannedNufft":
+        """The adjoint planned transform (swapped type and direction),
+        sharing all per-shard points-side artifacts."""
+        if self._adjoint is None:
+            adj = object.__new__(ShardedPlannedNufft)
+            adj.__dict__.update(self.__dict__)
+            adj.transform_type = ("type_2"
+                                  if self.transform_type == "type_1"
+                                  else "type_1")
+            adj.fft_direction = ("backward"
+                                 if self.fft_direction == "forward"
+                                 else "forward")
+            adj._shards = [sh.adjoint() for sh in self._shards]
+            if self._planned:
+                adj.plan = adj._shards[0].plan
+            adj._adjoint = self
+            self._adjoint = adj
+        return self._adjoint
+
+    def _specs(self):
+        rank = len(self.grid_shape)
+        da, pa = self.data_axis, self.points_axis
+        grid_dims = (None,) * (rank + 1)
+        if self.transform_type == "type_1":
+            src_spec = P(da, pa, None)
+            out_spec = P(da, *grid_dims)
+        else:
+            src_spec = P(da, *grid_dims)
+            out_spec = P(da, pa, None)
+        arts_spec = jax.tree.map(
+            lambda x: P(pa, *(None,) * (x.ndim - 1)), self._arts)
+        return src_spec, out_spec, arts_spec
+
+    def _local_arts(self, arts, active):
+        """Strips the leading shard axis from the shard_mapped artifact
+        tree and marks it varying over the active mesh axes."""
+        arts = jax.tree.map(lambda x: _vary_over(x[0], active), arts)
+        points_resc, binned, aux = arts
+        mats = aux if self._level == "mats" else None
+        coords = None if self._level == "mats" else aux
+        return points_resc, binned, mats, coords
+
+    # -- applies ------------------------------------------------------
+
+    def __call__(self, source):
+        """Applies the transform to planar ``source`` (see class doc)."""
+        source = jnp.asarray(source)
+        rank = len(self.grid_shape)
+        if self.transform_type == "type_1":
+            ok = (source.ndim == 3 and source.shape[1] == self.num_points
+                  and source.shape[-1] == 2)
+            expect = f"[B, {self.num_points}, 2]"
+        else:
+            ok = (source.ndim == rank + 2
+                  and tuple(source.shape[1:-1]) == self.grid_shape
+                  and source.shape[-1] == 2)
+            expect = "[B, {}, 2]".format(
+                ", ".join(str(g) for g in self.grid_shape))
+        if not ok:
+            raise ValueError(
+                f"sharded planned {self.transform_type} expects a "
+                f"source of shape {expect}; got {source.shape}")
+        if self.data_axis and source.shape[0] % \
+                self.mesh.shape[self.data_axis]:
+            raise ValueError(
+                f"batch {source.shape[0]} must divide evenly over the "
+                f"data axis (size {self.mesh.shape[self.data_axis]})")
+        if not self._planned:
+            return sharded_nufft(
+                source, jnp.asarray(self.points), self.mesh,
+                grid_shape=self.grid_shape,
+                transform_type=self.transform_type,
+                fft_direction=self.fft_direction, tol=self.tol,
+                options=self.options, data_axis=self.data_axis,
+                points_axis=self.points_axis)
+        return _sharded_planned_call(source, self)
+
+    def _apply(self, source):
+        from tensorflow_nufft_tpu.fft.planar_fft import (
+            amplify_pad_dft_tiled, dft_truncate_deconvolve_tiled)
+        from tensorflow_nufft_tpu.kernels.pallas_interp import (
+            interp_pallas_tiled)
+        from tensorflow_nufft_tpu.kernels.pallas_spread import (
+            spread_pallas_tiles)
+
+        da, pa = self.data_axis, self.points_axis
+        active = tuple(a for a in (da, pa) if a)
+        src_spec, out_spec, arts_spec = self._specs()
+        plan, geom = self.plan, self.geom
+        transform_type = self.transform_type
+        check = _planned_vma_check()
+        vary = active if check else ()
+        out_vma = frozenset(active) if check else None
+
+        def local_fn(src, arts):
+            src = _vary_over(src, vary)
+            points_resc, binned, mats, coords = self._local_arts(
+                arts, vary)
+            b = src.shape[0]
+            if transform_type == "type_1":
+                mloc = src.shape[1]
+                src_cm = jnp.moveaxis(src, -1, 1).reshape(2 * b, mloc)
+                tiles, _ = spread_pallas_tiles(
+                    src_cm.astype(jnp.float32), points_resc, plan,
+                    binned=binned, mats=mats, coords=coords, geom=geom,
+                    out_vma=out_vma)
+                out = dft_truncate_deconvolve_tiled(tiles, plan, geom, b)
+                if pa:
+                    out = jax.lax.psum(out, pa)
+                return out.astype(src.dtype)
+            tiles = amplify_pad_dft_tiled(src, plan, geom)
+            values = interp_pallas_tiled(
+                tiles, points_resc, plan, geom, binned=binned,
+                mats=mats, coords=coords, out_vma=out_vma)
+            mloc = values.shape[-1]
+            return jnp.moveaxis(values.reshape(b, 2, mloc),
+                                1, -1).astype(src.dtype)
+
+        fn = jax.shard_map(local_fn, mesh=self.mesh,
+                           in_specs=(src_spec, arts_spec),
+                           out_specs=out_spec, check_vma=check)
+        return fn(source, self._arts)
+
+    # -- fused normal operator ----------------------------------------
+
+    def slot_weights(self, weights) -> jax.Array:
+        """Per-point real weights [M] -> per-shard chunk-slot order
+        ([S, NC*chunk]) for ``normal``; point order must match the
+        constructor's ``points``."""
+        w = _np.asarray(weights)
+        if w.shape != (self.num_points,):
+            raise ValueError(
+                f"weights must have shape [{self.num_points}], got "
+                f"{w.shape}")
+        if not self._planned:
+            return jnp.asarray(w)
+        ws = w.reshape(self._num_shards, -1)
+        return jnp.stack([sh.slot_weights(ws[i])
+                          for i, sh in enumerate(self._shards)])
+
+    def normal(self, source, slot_w=None):
+        """Fused normal operator ``A^H W A`` over the mesh: the type-2
+        forward and type-1 adjoint run back-to-back on each device with
+        the intermediate point values kept in chunk-slot order (no
+        point-order permutations), then ONE psum of the mode outputs
+        over the points axis per apply. ``slot_w`` comes from
+        ``slot_weights`` (treated as non-differentiable plan data).
+
+        [B, *grid, 2] -> [B, *grid, 2]; self-adjoint custom VJP.
+        """
+        source = jnp.asarray(source)
+        if not self._planned:
+            t2 = self if self.transform_type == "type_2" \
+                else self.adjoint()
+            vals = t2(source)
+            if slot_w is not None:
+                vals = vals * jax.lax.stop_gradient(
+                    jnp.asarray(slot_w))[None, :, None]
+            return t2.adjoint()(vals)
+        return _sharded_normal_call(source, slot_w, self)
+
+    def _apply_normal(self, source, slot_w=None):
+        from tensorflow_nufft_tpu.fft.planar_fft import (
+            amplify_pad_dft_tiled, dft_truncate_deconvolve_tiled)
+        from tensorflow_nufft_tpu.kernels.pallas_interp import (
+            interp_pallas_tiled)
+        from tensorflow_nufft_tpu.kernels.pallas_spread import (
+            spread_pallas_tiles)
+
+        da, pa = self.data_axis, self.points_axis
+        active = tuple(a for a in (da, pa) if a)
+        rank = len(self.grid_shape)
+        grid_dims = (None,) * (rank + 1)
+        src_spec = P(da, *grid_dims)
+        arts_spec = jax.tree.map(
+            lambda x: P(pa, *(None,) * (x.ndim - 1)), self._arts)
+        t2 = self if self.transform_type == "type_2" else self.adjoint()
+        t1 = t2.adjoint()
+        t2_plan, t1_plan, geom = t2.plan, t1.plan, self.geom
+        check = _planned_vma_check()
+        vary = active if check else ()
+        out_vma = frozenset(active) if check else None
+
+        def local_fn(src, arts, sw):
+            src = _vary_over(src, vary)
+            points_resc, binned, mats, coords = self._local_arts(
+                arts, vary)
+            b = src.shape[0]
+            tiles = amplify_pad_dft_tiled(src, t2_plan, geom)
+            flat = interp_pallas_tiled(
+                tiles, points_resc, t2_plan, geom, binned=binned,
+                mats=mats, coords=coords, chunk_order=True,
+                out_vma=out_vma)                     # [B2, NC*chunk]
+            if sw is not None:
+                sw_l = _vary_over(jax.lax.stop_gradient(sw[0]), vary)
+                flat = flat * sw_l[None, :]
+            tiles1, _ = spread_pallas_tiles(
+                None, points_resc, t1_plan, binned=binned, mats=mats,
+                coords=coords, values_slots=flat, geom=geom,
+                out_vma=out_vma)
+            out = dft_truncate_deconvolve_tiled(tiles1, t1_plan, geom, b)
+            if pa:
+                out = jax.lax.psum(out, pa)
+            return out.astype(src.dtype)
+
+        in_specs = (src_spec, arts_spec,
+                    None if slot_w is None else P(pa, None))
+        args = (source, self._arts, slot_w)
+        if slot_w is None:
+            # shard_map specs must match the argument tree; drop the
+            # missing leaf entirely.
+            def local2(src, arts):
+                return local_fn(src, arts, None)
+            fn = jax.shard_map(local2, mesh=self.mesh,
+                               in_specs=in_specs[:2],
+                               out_specs=src_spec, check_vma=check)
+            return fn(source, self._arts)
+        fn = jax.shard_map(local_fn, mesh=self.mesh,
+                           in_specs=in_specs, out_specs=src_spec,
+                           check_vma=check)
+        return fn(*args)

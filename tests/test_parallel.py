@@ -203,6 +203,123 @@ class TestShardedType3:
         assert _relerr(got, ref) <= 1e-6
 
 
+class TestShardedPlanned:
+    """ShardedPlannedNufft: the planned (guru) Pallas pipeline inside
+    shard_map — per-shard plan artifacts stacked on the points axis.
+    Off-TPU the kernels run in interpret mode; backend='pallas' forces
+    the planned path (otherwise it falls back to sharded_nufft)."""
+
+    OPTS = tfft.Options(backend="pallas")
+
+    def _op(self, points, grid, mesh, **kw):
+        from tensorflow_nufft_tpu.parallel import ShardedPlannedNufft
+        kw.setdefault("options", self.OPTS)
+        return ShardedPlannedNufft(points, grid, mesh, **kw)
+
+    def test_type2_matches_unsharded(self, problem):
+        grid, points, source_t2, _ = problem
+        mesh = _mesh((2, 4), ("data", "points"))
+        op = self._op(points, grid, mesh, transform_type="type_2")
+        assert op._planned
+        got = op(source_t2)
+        ref = tfft.planar.PlannedNufft(points, grid,
+                                       transform_type="type_2",
+                                       options=self.OPTS)(source_t2)
+        assert _relerr(got, ref) < 1e-5
+
+    def test_type1_psum_matches_unsharded(self, problem):
+        grid, points, _, strengths = problem
+        mesh = _mesh((2, 4), ("data", "points"))
+        op = self._op(points, grid, mesh, transform_type="type_1")
+        got = op(strengths)
+        ref = tfft.planar.PlannedNufft(points, grid,
+                                       transform_type="type_1",
+                                       options=self.OPTS)(strengths)
+        assert got.shape == ref.shape
+        assert _relerr(got, ref) < 1e-5
+
+    def test_points_axis_only(self, problem):
+        grid, points, source_t2, _ = problem
+        mesh = _mesh((8,), ("points",))
+        op = self._op(points, grid, mesh, transform_type="type_2",
+                      data_axis=None)
+        got = op(source_t2)
+        ref = tfft.planar.PlannedNufft(points, grid,
+                                       transform_type="type_2",
+                                       options=self.OPTS)(source_t2)
+        assert _relerr(got, ref) < 1e-5
+
+    def test_gradient(self, problem):
+        grid, points, source_t2, _ = problem
+        mesh = _mesh((2, 4), ("data", "points"))
+        op = self._op(points, grid, mesh, transform_type="type_2")
+        ref_op = tfft.planar.PlannedNufft(points, grid,
+                                          transform_type="type_2",
+                                          options=self.OPTS)
+        g1 = jax.grad(lambda s: jnp.sum(op(s) ** 2))(source_t2)
+        g2 = jax.grad(lambda s: jnp.sum(ref_op(s) ** 2))(source_t2)
+        assert _relerr(g1, g2) < 1e-4
+
+    def test_normal_with_weights(self, problem, rng):
+        grid, points, source_t2, _ = problem
+        mesh = _mesh((2, 4), ("data", "points"))
+        op = self._op(points, grid, mesh, transform_type="type_2")
+        w = rng.uniform(0.5, 2.0, (points.shape[0],)).astype(np.float32)
+        sw = op.slot_weights(w)
+        got = np.asarray(op.normal(source_t2, sw))
+        ref_op = tfft.planar.PlannedNufft(points, grid,
+                                          transform_type="type_2",
+                                          options=self.OPTS)
+        ref = np.asarray(ref_op.adjoint()(
+            ref_op(source_t2) * jnp.asarray(w)[None, :, None]))
+        assert _relerr(got, ref) < 1e-5
+
+    def test_normal_gradient_self_adjoint(self, problem):
+        grid, points, source_t2, _ = problem
+        mesh = _mesh((2, 4), ("data", "points"))
+        op = self._op(points, grid, mesh, transform_type="type_2")
+        ct = jnp.ones_like(op.normal(source_t2))
+
+        def loss(s):
+            return jnp.sum(op.normal(s) * ct)
+
+        g = jax.grad(loss)(source_t2)
+        # d/ds <N s, ct> = N^H ct = N ct (self-adjoint real operator).
+        ref = op.normal(ct)
+        assert _relerr(g, ref) < 1e-4
+
+    def test_fallback_unplanned(self, problem):
+        # Without backend='pallas' the CPU planned path is not served;
+        # __call__ must fall back to sharded_nufft with same numerics.
+        grid, points, source_t2, _ = problem
+        mesh = _mesh((2, 4), ("data", "points"))
+        op = self._op(points, grid, mesh, transform_type="type_2",
+                      options=None)
+        assert not op._planned
+        got = op(source_t2)
+        ref = tfft.planar.nufft(source_t2, points,
+                                transform_type="type_2")
+        assert _relerr(got, ref) < 1e-4
+
+    def test_divisibility_errors(self, problem, rng):
+        grid, points, source_t2, _ = problem
+        mesh = _mesh((2, 4), ("data", "points"))
+        bad_pts = random_points(rng, (63, 2), np.float32)  # 63 % 4
+        with pytest.raises(ValueError, match="divide"):
+            self._op(bad_pts, grid, mesh)
+        op = self._op(points, grid, mesh, transform_type="type_2")
+        bad_src = jnp.zeros((3,) + grid + (2,), np.float32)  # 3 % 2
+        with pytest.raises(ValueError, match="divide"):
+            op(bad_src)
+
+    def test_shape_validation(self, problem):
+        grid, points, source_t2, _ = problem
+        mesh = _mesh((2, 4), ("data", "points"))
+        op = self._op(points, grid, mesh, transform_type="type_1")
+        with pytest.raises(ValueError, match="expects a"):
+            op(source_t2)   # grid-shaped input to a type-1
+
+
 def test_sharded_inactive_axis(rng, ):
     # A mesh axis not assigned to data/points must stay replicated:
     # passing data_axis=None on a two-axis mesh used to trip shard_map's
