@@ -319,6 +319,37 @@ class TestShardedPlanned:
         with pytest.raises(ValueError, match="expects a"):
             op(source_t2)   # grid-shaped input to a type-1
 
+    def test_mats_level_type1(self, rng):
+        # Large-enough per-shard point count selects the 'mats' plan
+        # level (precomputed ES kernel matrices); the small `problem`
+        # fixtures only exercise the 'binned' level.
+        m, grid = 4096, (32, 32)
+        points = random_points(rng, (m, 2), np.float32)
+        mesh = _mesh((2, 4), ("data", "points"))
+        op = self._op(points, grid, mesh, transform_type="type_1")
+        assert op._level == "mats"
+        src = jnp.asarray(rng.standard_normal((2, m, 2)),
+                          dtype=jnp.float32)
+        got = op(src)
+        ref = tfft.planar.PlannedNufft(points, grid,
+                                       transform_type="type_1",
+                                       options=self.OPTS)(src)
+        assert _relerr(got, ref) < 1e-5
+
+    def test_3d_binned_level(self, rng):
+        m, grid = 256, (12, 12, 12)
+        points = random_points(rng, (m, 3), np.float32)
+        mesh = _mesh((2, 4), ("data", "points"))
+        op = self._op(points, grid, mesh, transform_type="type_1")
+        assert op._level == "binned"
+        src = jnp.asarray(rng.standard_normal((2, m, 2)),
+                          dtype=jnp.float32)
+        got = op(src)
+        ref = tfft.planar.PlannedNufft(points, grid,
+                                       transform_type="type_1",
+                                       options=self.OPTS)(src)
+        assert _relerr(got, ref) < 1e-5
+
 
 def test_sharded_inactive_axis(rng, ):
     # A mesh axis not assigned to data/points must stay replicated:
