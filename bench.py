@@ -18,7 +18,7 @@ backend has no complex dtypes) and cached in build/.
 Timing methodology: the relay to the TPU has ~30-100 ms fixed dispatch +
 readback latency and an unreliable block_until_ready, so the transform is
 iterated inside a single jit (lax.fori_loop, input perturbed per
-iteration to prevent CSE) and the marginal time between K=1 and K=K2
+iteration to prevent CSE) and the marginal time between K=K1 and K=K2
 runs is used.
 
 Prints exactly one JSON line:
@@ -38,7 +38,15 @@ BASELINE_PTS_PER_SEC = 1.0e8
 GRID = 256
 NUM_POINTS = 65536
 TOL = 1e-6
-K2 = 64
+# Marginal-time K pair: per-transform = (t(K2) - t(K1)) / (K2 - K1).
+# The relay's fixed dispatch+readback latency jitters by several ms
+# run-to-run, which at the old (1, 64) pair was comparable to the
+# 63-iteration delta (~23 ms) and produced 3x headline swings
+# (BENCH_NOTES round 3). 256 iterations of delta (~25-90 ms of pure
+# device time) push the jitter below 5%.
+K1 = 32
+K2 = 288
+TIMING_REPEATS = 6
 SEED = 42
 REF_PATH = pathlib.Path(__file__).parent / "build" / \
     f"bench_ref_{GRID}_{NUM_POINTS}_{SEED}_{TOL:g}.npz"
@@ -155,15 +163,15 @@ def main():
     def timed(f):
         np.asarray(f(pts_dev))       # compile + warm
         best = float("inf")
-        for _ in range(4):
+        for _ in range(TIMING_REPEATS):
             t0 = time.perf_counter()
             np.asarray(f(pts_dev))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t1 = timed(make(1))
+    t1 = timed(make(K1))
     tk = timed(make(K2))
-    per = max((tk - t1) / (K2 - 1), 1e-9)
+    per = max((tk - t1) / (K2 - K1), 1e-9)
     pts_per_sec = NUM_POINTS / per
     log(f"per-transform: {per * 1e3:.3f} ms")
     if not accurate:
