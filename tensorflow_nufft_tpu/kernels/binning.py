@@ -84,6 +84,16 @@ _TILE_PREFS_3D = (
     (16, 24, 32, 40, 8, 64, 48, 96, 128),     # middle axis
     (64, 48, 96, 80, 40, 32, 128, 24, 16),    # last (lane) axis
 )
+# Banded rank-3 prefs (planned path, compute_band_origins): the
+# per-sub-chunk axis-0 band decouples the fold's FLOPs from the
+# leading tile length, so axis 0 goes coarse — fewer tiles means less
+# per-tile chunk padding (smaller values-payload gather) at no MXU
+# cost. Middle/lane prefs match _TILE_PREFS_3D.
+_TILE_PREFS_3D_BANDED = (
+    (128, 256, 64, 96, 192, 32, 16, 8),       # leading axis (banded)
+    (16, 24, 32, 40, 8, 64, 48, 96, 128),     # middle axis
+    (64, 48, 96, 80, 40, 32, 128, 24, 16),    # last (lane) axis
+)
 
 
 # Process-wide tuning overrides (benchmarking/experiments). Keys:
@@ -103,7 +113,8 @@ def set_geometry_overrides(chunk: int = 0, tile_pref: int = 0,
 
 def choose_geometry(fine_shape: Sequence[int], width: int,
                     num_points: int, chunk: int = 0,
-                    tile_pref: int = 0) -> TileGeometry:
+                    tile_pref: int = 0,
+                    banded: bool = False) -> TileGeometry:
     """Picks tile dims that divide the fine grid and a chunk size.
 
     The halo must cover the kernel footprint: a point owned by a tile can
@@ -137,7 +148,8 @@ def choose_geometry(fine_shape: Sequence[int], width: int,
         tile = []
         for d, nf in enumerate(fine_shape):
             if rank == 3:
-                prefs = _TILE_PREFS_3D[d]
+                prefs = (_TILE_PREFS_3D_BANDED if banded
+                         else _TILE_PREFS_3D)[d]
             else:
                 prefs = _TILE_PREFS[rank]
             prefs = ((tile_pref,) if tile_pref else ()) + prefs
@@ -298,7 +310,82 @@ def _ranks_and_starts(tid: jax.Array, num_tiles: int, chunk: int):
     return rank, counts, chunk_base, chunk_starts
 
 
-def bin_points(points_resc, geom: TileGeometry) -> BinnedPoints:
+def _ranks_and_starts_celled(tid: jax.Array, zc: jax.Array,
+                             num_tiles: int, zcells: int, chunk: int):
+    """_ranks_and_starts with a secondary axis-0 cell key: points are
+    ordered within their tile by ``zc`` (then arrival), while chunking
+    stays per TILE. This is what lets the rank-3 banded kernels bound
+    each sub-chunk's axis-0 span (see compute_band_origins).
+
+    Composite keys make the one-hot tables impractical, so this always
+    uses the scatter/gather form (cf. _ranks_and_starts). Returns
+    (rank_within_tile [M], tile counts [T], chunk_base [M],
+    chunk_starts [T]) — the same contract as _ranks_and_starts.
+    """
+    nk = num_tiles * zcells
+    key = tid * zcells + zc
+    m = key.shape[0]
+    s = _SEGMENT
+    g = -(-m // s)
+    pad = g * s - m
+    key_p = jnp.concatenate(
+        [key, jnp.full((pad,), nk, key.dtype)]) if pad else key
+    key3 = key_p.reshape(g, s)
+
+    eq = (key3[:, :, None] == key3[:, None, :])
+    lower = (jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+             < jax.lax.broadcasted_iota(jnp.int32, (s, s), 1))
+    rank_in_seg = jnp.sum(
+        (eq & lower[None]).astype(jnp.int32), axis=1)        # [G, S]
+
+    seg_id = jax.lax.broadcasted_iota(jnp.int32, (g, s), 0)
+    flat_idx = (seg_id * (nk + 1)
+                + key3.astype(jnp.int32)).reshape(g * s)
+    seg_counts = jnp.zeros((g * (nk + 1),), jnp.float32
+                           ).at[flat_idx].add(1.0).reshape(g, nk + 1)
+    cum = jax.lax.associative_scan(jnp.add, seg_counts, axis=0)
+    seg_prefix = cum - seg_counts                            # exclusive
+    counts_f = cum[-1]                                       # [nk+1]
+
+    key_counts = counts_f[:nk].reshape(num_tiles, zcells)
+    tile_counts_f = jnp.sum(key_counts, axis=1)              # [T]
+    rounds = jnp.maximum(jnp.ceil(tile_counts_f / chunk), 1.0)
+    chunk_starts_f = jnp.cumsum(rounds) - rounds             # [T]
+    # Exclusive cell prefix within each tile; one combined per-key
+    # table folds in the tile's chunk base so points need ONE gather.
+    cellpref = (jnp.cumsum(key_counts, axis=1)
+                - key_counts).reshape(nk)                    # [nk]
+    base_table = jnp.concatenate(
+        [cellpref, jnp.zeros((1,), jnp.float32)])            # [nk+1]
+    prefix_of_point = seg_prefix.reshape(
+        g * (nk + 1))[flat_idx].reshape(g, s)
+    cell_base = base_table[key_p.astype(jnp.int32)].reshape(g, s)
+    chunk_base_tbl = jnp.concatenate(
+        [chunk_starts_f * chunk, jnp.zeros((1,), jnp.float32)])
+    tid_p = jnp.minimum(key_p // zcells, num_tiles).astype(jnp.int32)
+    chunk_base = chunk_base_tbl[tid_p].reshape(g, s)
+
+    rank = (rank_in_seg + (prefix_of_point + cell_base).astype(jnp.int32)
+            ).reshape(g * s)[:m]
+    chunk_base = chunk_base.astype(jnp.int32).reshape(g * s)[:m]
+    counts = tile_counts_f.astype(jnp.int32)
+    chunk_starts = chunk_starts_f.astype(jnp.int32)
+    return rank, counts, chunk_base, chunk_starts
+
+
+def sort_cell_size(geom: TileGeometry) -> int:
+    """Axis-0 cell size for z-ordered binning: fine enough that a
+    128-point sub-chunk's axis-0 span stays tight, coarse enough that
+    the composite-key tables (num_tiles * zcells keys) stay small."""
+    t0 = geom.tile[0]
+    cell = max(2, t0 // 32)
+    while t0 % cell:
+        cell += 1
+    return cell
+
+
+def bin_points(points_resc, geom: TileGeometry,
+               zorder: bool = False) -> BinnedPoints:
     """Groups points by tile and builds the padded chunk stream.
 
     Args:
@@ -307,6 +394,11 @@ def bin_points(points_resc, geom: TileGeometry) -> BinnedPoints:
             ``xla_ops.fold_and_rescale_split``; the low word restores
             full coordinate precision inside the kernels).
         geom: static tiling.
+        zorder: order points within each tile by their axis-0 cell
+            (see sort_cell_size) instead of arrival order — required
+            by the rank-3 banded kernels, whose per-sub-chunk axis-0
+            bands assume consecutive slots have nearby coordinates.
+            Any within-tile order is correct for every consumer.
 
     Returns:
         BinnedPoints with static shapes independent of the distribution.
@@ -339,8 +431,17 @@ def bin_points(points_resc, geom: TileGeometry) -> BinnedPoints:
     for d in range(1, rank):
         tid = tid * tiles[d] + tidx[d]
 
-    rank_in_tile, counts, chunk_base, chunk_starts = _ranks_and_starts(
-        tid, num_tiles, chunk)
+    if zorder:
+        cell = sort_cell_size(geom)
+        zcells = geom.tile[0] // cell
+        zc = jnp.clip(
+            (points_hi[:, 0] // cell).astype(jnp.int32)
+            - tidx[0] * (geom.tile[0] // cell), 0, zcells - 1)
+        rank_in_tile, counts, chunk_base, chunk_starts = \
+            _ranks_and_starts_celled(tid, zc, num_tiles, zcells, chunk)
+    else:
+        rank_in_tile, counts, chunk_base, chunk_starts = \
+            _ranks_and_starts(tid, num_tiles, chunk)
     # Materialize once: several scatters consume padpos, and XLA's
     # scatter fusion would otherwise duplicate the whole ranking chain
     # into each of them (measured as a 2-3x pipeline slowdown).
@@ -380,6 +481,54 @@ def bin_points(points_resc, geom: TileGeometry) -> BinnedPoints:
         chunk_tidx=chunk_tidx,
         tile_bounds=tile_bounds,
     )
+
+
+def compute_band_origins(binned: BinnedPoints, geom: TileGeometry,
+                         half_width: float, sub: int):
+    """Static axis-0 band height + per-sub-chunk band origins for the
+    rank-3 banded kernels (eager; plan time only, concrete points).
+
+    With z-ordered binning (bin_points(..., zorder=True)), each
+    ``sub``-point sub-chunk of a chunk touches only a narrow range of
+    extended-tile axis-0 rows. The kernels then contract a [band, E1]
+    Khatri-Rao fold instead of [E0, E1] and add the contribution at a
+    dynamic leading-dim offset — a pure FLOP reduction of ~E0/band
+    (the 3D spread/interp kernels are MXU-bound).
+
+    Returns:
+        (band, zorigins): band is the static row count (multiple of 4,
+        <= E0; E0 itself means banding degenerated — callers should
+        fall back to the unbanded kernels), zorigins an int32
+        [num_chunks * ceil(chunk/sub)] numpy array of clamped band
+        start rows (0 for empty sub-chunks).
+    """
+    e0 = geom.ext[0]
+    chunk, nc = geom.chunk, geom.num_chunks
+    sublen = min(sub, chunk)
+    subs = -(-chunk // sublen)
+    z = np.asarray(binned.points_hi[:, 0], dtype=np.float64)
+    invpos = np.asarray(binned.invpos)
+    m = z.shape[0]
+    zs = np.concatenate([z, [np.nan]])[invpos]     # slot order
+    t0 = np.asarray(binned.chunk_tidx[0], dtype=np.float64)
+    origin = t0 * geom.tile[0] - geom.pad          # [NC]
+    s_ext = zs.reshape(nc, subs, sublen) - origin[:, None, None]
+    valid = np.isfinite(s_ext)
+    any_valid = valid.any(axis=-1)
+    mins = np.where(valid, s_ext, np.inf).min(axis=-1)
+    maxs = np.where(valid, s_ext, -np.inf).max(axis=-1)
+    # Rows with nonzero kernel weight: integer e in the OPEN interval
+    # (s - hw, s + hw) -> [floor(s_min - hw) + 1, ceil(s_max + hw) - 1].
+    # The 1e-3 slack absorbs the two-float coordinate low words
+    # (|lo| <= ~1e-5 grid units), which this hi-word bound ignores.
+    lo = np.floor(mins - half_width - 1e-3) + 1.0
+    hi = np.ceil(maxs + half_width + 1e-3) - 1.0
+    need = np.where(any_valid, hi - lo + 1.0, 0.0)
+    band = int(need.max()) if need.size else 0
+    band = min(-(-max(band, 4) // 4) * 4, e0)
+    zo = np.where(any_valid, lo, 0.0)
+    zo = np.clip(zo, 0, e0 - band).astype(np.int32)
+    return band, zo.reshape(nc * subs)
 
 
 def _pack_rows(rows, sentinel_rows: int, binned: BinnedPoints,

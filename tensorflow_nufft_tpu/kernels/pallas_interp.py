@@ -32,6 +32,7 @@ from tensorflow_nufft_tpu.kernels.binning import (
 )
 from tensorflow_nufft_tpu.kernels.pallas_spread import (
     NBUF,
+    RANK3_SUB,
     _linear_tile_id,
     _tile_origins,
     es_kernel_matrix,  # noqa: F401  (re-export for tests)
@@ -142,18 +143,8 @@ def _interp_chunk_values_mats_t(tile_ref, tids, mats_t,
 
 def interp_channels_into(out_scratch, oslot, tile_ref, tids, mats_t,
                          geom: TileGeometry, batch2: int):
-    """Writes one chunk's [B2, C] values into ``out_scratch[oslot]``,
-    either with the static channel unroll or (pallas_spread.CHANNEL_LOOP)
-    a lax.fori_loop that reuses one channel's contraction temporaries —
-    see the flag's doc for the multicoil trade."""
-    from tensorflow_nufft_tpu.kernels import pallas_spread
-    if pallas_spread.CHANNEL_LOOP and batch2 > 1:
-        def body(b, _):
-            out_scratch[oslot, b, :] = chunk_interp_values(
-                tile_ref[tuple(tids) + (b,)], mats_t, geom)
-            return 0
-        jax.lax.fori_loop(0, batch2, body, 0)
-        return
+    """Writes one chunk's [B2, C] values into ``out_scratch[oslot]``
+    (static channel unroll)."""
     out_scratch[oslot] = _interp_chunk_values_mats_t(
         tile_ref, tids, mats_t, geom, batch2)
 
@@ -227,7 +218,7 @@ def _interp_kernel_resident_mats(*refs, geom: TileGeometry, batch2):
 def _interp_kernel(bounds_ref, payload_hbm, tile_ref, out_hbm,
                    in_scratch, in_sems, out_scratch, out_sems,
                    *scratch_rest, geom: TileGeometry, beta, c,
-                   half_width, batch2, horner=None):
+                   half_width, batch2, horner=None, deriv_axis=None):
     mref = scratch_rest[0] if scratch_rest else None
     t = _linear_tile_id(geom)
     start = bounds_ref[t]
@@ -260,7 +251,7 @@ def _interp_kernel(bounds_ref, payload_hbm, tile_ref, out_hbm,
         chunk_dma(slot, k).wait()
         data = in_scratch[slot]                  # [R, C]
         mats = kernel_matrices_from(data, origins, geom, beta, c,
-                                    half_width, horner)
+                                    half_width, horner, deriv_axis)
         # Double-buffered write-back: reclaim this slot's previous write
         # before overwriting, so the outbound DMA overlaps the next
         # chunk's compute instead of serializing against it.
@@ -284,6 +275,98 @@ def _interp_kernel(bounds_ref, payload_hbm, tile_ref, out_hbm,
         def _(j=j):
             last = end - 1 - j
             write_dma(jax.lax.rem(last - start, jnp.asarray(2, last.dtype)),
+                      last).wait()
+
+
+def _interp_kernel_banded(bounds_ref, zorig_ref, payload_hbm, tile_ref,
+                          out_hbm, in_scratch, in_sems, out_scratch,
+                          out_sems, mref, *, geom: TileGeometry, beta,
+                          c, half_width, batch2, band, horner=None):
+    """Rank-3 interp with axis-0 banding: sub-chunk j of chunk k reads
+    only rows [zorig[k*subs+j], +band) of the extended tile, so the
+    per-sub contraction is [band*E1, E2] x [E2, S] instead of
+    [E0*E1, E2] x [E2, S] — the dual of
+    pallas_spread.accumulate_spread_banded. Requires z-ordered binning
+    and binning.compute_band_origins."""
+    e0, e1, e2 = geom.ext
+    sublen = min(geom.chunk, RANK3_SUB)
+    subs = geom.chunk // sublen
+    t = _linear_tile_id(geom)
+    start = bounds_ref[t]
+    end = bounds_ref[t + 1]
+    origins = _tile_origins(geom)
+    dn = (((1,), (0,)), ((), ()))
+
+    def chunk_dma(slot, k):
+        return pltpu.make_async_copy(
+            payload_hbm.at[k], in_scratch.at[slot], in_sems.at[slot])
+
+    def write_dma(slot, k):
+        return pltpu.make_async_copy(
+            out_scratch.at[slot], out_hbm.at[k], out_sems.at[slot])
+
+    for j in range(NBUF - 1):
+        @pl.when(start + j < end)
+        def _(j=j):
+            chunk_dma(j, start + j).start()
+
+    def body(k, _):
+        d = k - start
+        slot = jax.lax.rem(d, jnp.asarray(NBUF, d.dtype))
+        oslot = jax.lax.rem(d, jnp.asarray(2, d.dtype))
+
+        @pl.when(k + NBUF - 1 < end)
+        def _():
+            nslot = jax.lax.rem(d + NBUF - 1, jnp.asarray(NBUF, d.dtype))
+            chunk_dma(nslot, k + NBUF - 1).start()
+
+        chunk_dma(slot, k).wait()
+        m1 = es_kernel_matrix(e1, in_scratch[slot, 1, :] - origins[1],
+                              in_scratch[slot, 4, :], beta, c,
+                              half_width, horner)
+        m2 = es_kernel_matrix(e2, in_scratch[slot, 2, :] - origins[2],
+                              in_scratch[slot, 5, :], beta, c,
+                              half_width, horner)
+        mref[0:e1, :] = m1
+        mref[e1:e1 + e2, :] = m2
+
+        @pl.when(d >= 2)
+        def _():
+            write_dma(oslot, k - 2).wait()
+
+        def sbody(j, _):
+            js = pl.ds(j * sublen, sublen)
+            zo = zorig_ref[k * subs + j]
+            s_hi_z = (in_scratch[slot, 0, js] - origins[0]) \
+                - zo.astype(jnp.float32)
+            m0b = es_kernel_matrix(band, s_hi_z,
+                                   in_scratch[slot, 3, js],
+                                   beta, c, half_width, horner)
+            m1s = mref[0:e1, js]
+            m2s = mref[e1:e1 + e2, js]
+            w = (m0b[:, None, :] * m1s[None, :, :]).reshape(
+                band * e1, sublen)
+            for b in range(batch2):     # static unroll over channels
+                fb = tile_ref[0, 0, 0, b, pl.ds(zo, band)].reshape(
+                    band * e1, e2)
+                v = jax.lax.dot_general(
+                    fb, m2s, dn, preferred_element_type=jnp.float32,
+                    precision=_MXU_PRECISION)        # [band*E1, S]
+                out_scratch[oslot, b, js] = jnp.sum(w * v, axis=0)
+            return 0
+
+        jax.lax.fori_loop(0, subs, sbody, 0)
+        write_dma(oslot, k).start()
+        return 0
+
+    jax.lax.fori_loop(start, end, body, 0)
+
+    for j in range(2):
+        @pl.when(start + j < end)
+        def _(j=j):
+            last = end - 1 - j
+            write_dma(jax.lax.rem(last - start,
+                                  jnp.asarray(2, last.dtype)),
                       last).wait()
 
 
@@ -360,7 +443,8 @@ def interp_pallas_tiled(tiles: jax.Array, points_resc,
                         plan: NufftPlan, geom: TileGeometry,
                         binned=None, mats=None,
                         coords=None, chunk_order=False,
-                        out_vma=None) -> jax.Array:
+                        out_vma=None, band_info=None,
+                        deriv_axis=None) -> jax.Array:
     """[*tiles, B2, *ext] extended blocks + rescaled points ->
     [B2, M]. The halo windowing is the caller's (fused into the upstream
     contraction by amplify_pad_dft_tiled, or done by extend_tiles).
@@ -381,12 +465,24 @@ def interp_pallas_tiled(tiles: jax.Array, points_resc,
     batch2 = tiles.shape[rank]
     if binned is None:
         binned = bin_points(points_resc, geom)
-    group = streaming_group_size(geom)
+    if deriv_axis is not None:
+        # Derivative kernels are evaluated in-kernel: the mats payload
+        # and the banded variants carry/assume plain phi.
+        assert mats is None, "deriv_axis requires in-kernel evaluation"
+        band_info = None
+    if band_info is not None and (
+            rank != 3 or mats is not None
+            or band_info[0] >= geom.ext[0]):
+        band_info = None          # degenerate band: unbanded kernels
+    group = streaming_group_size(
+        geom, band_info[0] if band_info else None)
     if mats is not None:
-        # Prefer the resident single-program kernel where the tile
-        # array fits; larger problems stream mats through the per-tile
-        # grid kernel (_interp_kernel_mats).
-        group = resident_group_size(geom) or group
+        # Prefer residence only when it does not cost extra passes over
+        # the mats payload (see pallas_spread.spread_pallas_tiles).
+        gr = resident_group_size(geom)
+        if gr and (group == 0
+                   or -(-batch2 // gr) <= -(-batch2 // group)):
+            group = gr
     if group == 0:
         raise ValueError(
             f"Pallas interp: no channel group fits the VMEM budget for "
@@ -401,18 +497,63 @@ def interp_pallas_tiled(tiles: jax.Array, points_resc,
             sl = (slice(None),) * rank + (slice(i, i + group),)
             groups.append(_interp_group(tiles[sl], binned, payload,
                                         plan, geom, mats, chunk_order,
-                                        out_vma))
+                                        out_vma, band_info, deriv_axis))
         return jnp.concatenate(groups, axis=0)
     return _interp_group(tiles, binned, payload, plan, geom, mats,
-                         chunk_order, out_vma)
+                         chunk_order, out_vma, band_info, deriv_axis)
 
 
 def _interp_group(tiles, binned, payload, plan: NufftPlan,
                   geom: TileGeometry, mats=None,
-                  chunk_order=False, out_vma=None) -> jax.Array:
+                  chunk_order=False, out_vma=None,
+                  band_info=None, deriv_axis=None) -> jax.Array:
     from tensorflow_nufft_tpu.kernels.pallas_spread import resident_fits
     rank = geom.rank
     batch2 = tiles.shape[rank]
+
+    if band_info is not None:
+        band, zorigins = band_info
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,           # bounds + band origins
+            grid=geom.tiles,
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),        # payload
+                pl.BlockSpec(                                # tile block
+                    (1,) * rank + (batch2,) + geom.ext,
+                    lambda *ids: tuple(ids[:len(geom.tiles)])
+                    + (0,) * (rank + 1),
+                    memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((NBUF,) + payload.shape[1:], jnp.float32),
+                pltpu.SemaphoreType.DMA((NBUF,)),
+                pltpu.VMEM((2, batch2, geom.chunk), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((sum(geom.ext[1:]), geom.chunk),
+                           jnp.float32),
+            ],
+        )
+        kernel = functools.partial(
+            _interp_kernel_banded, geom=geom,
+            beta=np.float32(plan.beta), c=np.float32(plan.c),
+            half_width=np.float32(plan.half_width), batch2=batch2,
+            band=band, horner=horner_static(plan))
+        chunk_vals = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (geom.num_chunks, batch2, geom.chunk), jnp.float32,
+                vma=out_vma),
+            interpret=use_interpret(),
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(binned.tile_bounds, zorigins, payload,
+          tiles.astype(jnp.float32))
+        flat = chunk_vals.transpose(1, 0, 2).reshape(
+            batch2, geom.num_chunks * geom.chunk)
+        if chunk_order:
+            return flat
+        return scatter_chunked(flat, binned)
 
     if mats is not None and resident_fits(geom, batch2):
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -486,7 +627,7 @@ def _interp_group(tiles, binned, payload, plan: NufftPlan,
         _interp_kernel, geom=geom,
         beta=np.float32(plan.beta), c=np.float32(plan.c),
         half_width=np.float32(plan.half_width), batch2=batch2,
-        horner=horner_static(plan))
+        horner=horner_static(plan), deriv_axis=deriv_axis)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

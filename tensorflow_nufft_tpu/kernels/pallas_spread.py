@@ -57,20 +57,14 @@ _MXU_PRECISION = jax.lax.Precision.HIGHEST
 # Mosaic compile (and VMEM); bigger batches run as grouped calls.
 MAX_CHANNELS = 8
 
-# In-kernel channel loop (BENCH_NOTES "multicoil mats re-streaming",
-# candidate 2): iterate channels with lax.fori_loop instead of the
-# static unroll, so the per-channel contraction stack temporaries are
-# REUSED across channels instead of coexisting. The VMEM stack model
-# then counts one channel, admitting wider channel groups (raise
-# MAX_CHANNELS alongside) so multi-coil planned transforms re-stream
-# the shared kernel-matrix payload fewer times. Off by default until
-# measured on hardware (tools/chan_group.py sweeps both axes): the
-# loop may cost MXU pipelining. Set BEFORE constructing plans/payloads
-# so the group-size models and the traced kernels agree. Applies to
-# the rank-1/2 kernels and the rank-3 resident kernel; the rank-3
-# sub-chunk kernels keep the static unroll (their dominant stack term
-# is already channel-independent).
-CHANNEL_LOOP = False
+# Historical note: an in-kernel channel loop (CHANNEL_LOOP) was
+# prototyped to admit wider channel groups for multicoil transforms.
+# The round-3 hardware sweep (tools/chan_group.py, BENCH_NOTES)
+# found (a) Mosaic cannot lower the dynamic per-channel tile indexing
+# (dynamic_slice) on real TPU, and (b) wider groups buy nothing on the
+# batch-16 case anyway once the mats-streaming kernel is selected (the
+# kernels are MXU-bound, not payload-DMA-bound). The static unroll at
+# MAX_CHANNELS=8 stays.
 
 
 def use_interpret() -> bool:
@@ -125,20 +119,42 @@ def es_kernel_matrix(num_offsets: int, s_hi: jax.Array, s_lo: jax.Array,
     return jnp.where(inside, jnp.exp(beta * jnp.sqrt(arg)), 0.0)
 
 
+def es_kernel_matrix_deriv(num_offsets: int, s_hi: jax.Array,
+                           s_lo: jax.Array, beta, c, half_width):
+    """es_kernel_matrix with the analytic derivative
+    phi'(e - s) = -beta c (e - s) phi(e - s) / sqrt(1 - c (e - s)^2)
+    (spread-only VJPs; direct evaluation — the Horner fit approximates
+    phi, not phi')."""
+    offsets = jax.lax.broadcasted_iota(
+        jnp.int32, (num_offsets, s_hi.shape[0]), 0).astype(jnp.float32)
+    z = (offsets - s_hi[None, :]) - s_lo[None, :]
+    inside = jnp.abs(z) < half_width
+    arg = jnp.where(inside, jnp.maximum(1.0 - c * z * z, 1e-12), 1.0)
+    r = jnp.sqrt(arg)
+    val = -beta * c * z * jnp.exp(beta * r) / r
+    return jnp.where(inside, val, 0.0)
+
+
 def kernel_matrices_from(data, origins, geom: TileGeometry, beta, c,
-                         half_width, horner=None):
+                         half_width, horner=None, deriv_axis=None):
     """Per-axis [E_d, C] kernel matrices from a payload chunk.
 
     data: [R, C] chunk (rows 0..rank-1 hi words, rank..2rank-1 lo).
     origins: per-axis extended-tile origin (tile_idx * tile - pad).
+    deriv_axis: if set, that axis evaluates the analytic kernel
+    derivative (spread-only VJPs).
     """
     rank = geom.rank
     mats = []
     for d in range(rank):
         s_hi = data[d, :] - origins[d]
         s_lo = data[rank + d, :]
-        mats.append(es_kernel_matrix(
-            geom.ext[d], s_hi, s_lo, beta, c, half_width, horner))
+        if deriv_axis == d:
+            mats.append(es_kernel_matrix_deriv(
+                geom.ext[d], s_hi, s_lo, beta, c, half_width))
+        else:
+            mats.append(es_kernel_matrix(
+                geom.ext[d], s_hi, s_lo, beta, c, half_width, horner))
     return mats
 
 
@@ -251,19 +267,70 @@ def accumulate_spread_subchunk_refs(tile_ref, m_scratch, slot,
     jax.lax.fori_loop(0, geom.chunk // sub, body, 0)
 
 
+def accumulate_spread_banded(tile_ref, zorig_ref, k, c_ref, v_ref,
+                             slot, mref, origins, geom: TileGeometry,
+                             batch2: int, band: int, beta, c,
+                             half_width, rank_offset: int,
+                             horner=None):
+    """Rank-3 chunk accumulation with a dynamic axis-0 band.
+
+    Requires z-ordered binning (bin_points zorder=True) and the
+    per-sub-chunk band origins from binning.compute_band_origins:
+    sub-chunk j of chunk k touches only rows
+    [zorig[k*subs+j], +band) of the extended tile, so the Khatri-Rao
+    fold contracts [band, E1] x [E1..] instead of [E0, E1] — an
+    ~E0/band FLOP reduction on the MXU-bound 3D spread. The y/x
+    matrices are evaluated once per chunk into ``mref``; the z band
+    matrix is evaluated per sub-chunk against its own origin (band*S
+    lanes of VPU work — far below the full-E0 eval it replaces).
+
+    ``c_ref``/``v_ref`` are the payload scratch REFS (pl.ds sub-chunk
+    slicing needs refs); ``slot`` the active buffer. Coordinate rows
+    live in c_ref (0..2 hi words, 3..5 lo), channel values in rows
+    ``rank_offset..`` of v_ref (c_ref is v_ref for the combined
+    payload).
+    """
+    e0, e1, e2 = geom.ext
+    sublen = min(RANK3_SUB, geom.chunk)
+    subs = geom.chunk // sublen
+    m1 = es_kernel_matrix(e1, c_ref[slot, 1, :] - origins[1],
+                          c_ref[slot, 4, :], beta, c, half_width,
+                          horner)
+    m2 = es_kernel_matrix(e2, c_ref[slot, 2, :] - origins[2],
+                          c_ref[slot, 5, :], beta, c, half_width,
+                          horner)
+    mref[0:e1, :] = m1
+    mref[e1:e1 + e2, :] = m2
+    dn = (((1,), (1,)), ((), ()))        # contract the shared lane dim
+
+    def body(j, _):
+        js = pl.ds(j * sublen, sublen)
+        zo = zorig_ref[k * subs + j]
+        s_hi_z = (c_ref[slot, 0, js] - origins[0]) \
+            - zo.astype(jnp.float32)
+        m0b = es_kernel_matrix(band, s_hi_z, c_ref[slot, 3, js],
+                               beta, c, half_width, horner)
+        m1s = mref[0:e1, js]
+        m2s = mref[e1:e1 + e2, js]
+        w = (m0b[:, None, :] * m1s[None, :, :]).reshape(band * e1,
+                                                        sublen)
+        for b in range(batch2):         # static unroll over channels
+            p = m2s * v_ref[slot, rank_offset + b, js][None, :]
+            contrib = jax.lax.dot_general(
+                w, p, dn, preferred_element_type=jnp.float32,
+                precision=_MXU_PRECISION)                # [band*E1, E2]
+            tile_ref[0, 0, 0, b, pl.ds(zo, band)] += contrib.reshape(
+                band, e1, e2)
+        return 0
+
+    jax.lax.fori_loop(0, subs, body, 0)
+
+
 def accumulate_spread(tile_ref, mats_t, data, geom: TileGeometry,
                       batch2: int, rank_offset: int):
     """Adds one chunk's contribution into the (single-tile) output
     block. data rows [rank_offset + b] are the per-channel strengths."""
     rank = geom.rank
-    if CHANNEL_LOOP and batch2 > 1:
-        def body(b, _):
-            contrib = chunk_contribution(
-                mats_t, data[rank_offset + b, :], geom)
-            tile_ref[(0,) * rank + (b,)] += contrib
-            return 0
-        jax.lax.fori_loop(0, batch2, body, 0)
-        return
     for b in range(batch2):             # static unroll over channels
         contrib = chunk_contribution(mats_t, data[rank_offset + b, :],
                                      geom)
@@ -312,9 +379,7 @@ def _stack_bytes(geom: TileGeometry, batch2: int) -> int:
         rows, copies = geom.ext[0] * geom.ext[1], 7
     else:
         rows, copies = max(geom.ext), 1
-    # The in-kernel channel loop reuses one channel's temporaries.
-    eff = 1 if CHANNEL_LOOP else batch2
-    return 4 * eff * copies * rows * geom.chunk
+    return 4 * batch2 * copies * rows * geom.chunk
 
 
 def _scratch_bytes(geom: TileGeometry, batch2: int) -> int:
@@ -329,28 +394,36 @@ def _scratch_bytes(geom: TileGeometry, batch2: int) -> int:
             + _stack_bytes(geom, batch2))
 
 
-def _stack_bytes_streaming(geom: TileGeometry, batch2: int) -> int:
+def _stack_bytes_streaming(geom: TileGeometry, batch2: int,
+                           band=None) -> int:
     """Kernel-stack model for the per-tile-grid (streaming) kernels.
     Rank 3 runs the sub-chunk fold (accumulate_spread_subchunk): ~7
     copies of the shared [E0*E1, RANK3_SUB] fold slice plus per-channel
-    [E0*E1, E2] contribution/tile temporaries; rank <= 2 matches
-    _stack_bytes."""
+    [E0*E1, E2] contribution/tile temporaries (E0 -> band for the
+    banded kernels); rank <= 2 matches _stack_bytes."""
     if geom.rank != 3:
         return _stack_bytes(geom, batch2)
     e0, e1, e2 = geom.ext
+    if band:
+        e0 = band
     sub = min(RANK3_SUB, geom.chunk)
     return 4 * (7 * e0 * e1 * sub + 3 * batch2 * e0 * e1 * e2)
 
 
-def _scratch_bytes_streaming(geom: TileGeometry, batch2: int) -> int:
+def _scratch_bytes_streaming(geom: TileGeometry, batch2: int,
+                             band=None) -> int:
     """_scratch_bytes for the streaming kernels: adds the rank-3
-    [sum(ext), chunk] kernel-matrix staging ref and uses the sub-chunk
-    stack model."""
+    kernel-matrix staging ref ([sum(ext), chunk]; banded kernels stage
+    only the y/x axes) and uses the sub-chunk stack model."""
     per_chunk = (sum(geom.ext) + 8) * geom.chunk
     out_stream = 2 * batch2 * geom.chunk
-    mref = sum(geom.ext) * geom.chunk if geom.rank == 3 else 0
+    if geom.rank == 3:
+        rows = (sum(geom.ext[1:]) if band else sum(geom.ext))
+        mref = rows * geom.chunk
+    else:
+        mref = 0
     return (4 * (NBUF * per_chunk + out_stream + mref)
-            + _stack_bytes_streaming(geom, batch2))
+            + _stack_bytes_streaming(geom, batch2, band))
 
 
 def resident_fits(geom: TileGeometry, batch2: int) -> bool:
@@ -373,7 +446,7 @@ def resident_group_size(geom: TileGeometry) -> int:
     return 0
 
 
-def streaming_group_size(geom: TileGeometry) -> int:
+def streaming_group_size(geom: TileGeometry, band=None) -> int:
     """Channel-group size for the per-tile-grid (streaming) kernels:
     their VMEM cost is one [g, *ext] block plus pipeline scratch and
     the contraction stack — the rank-3 stack term forces small groups
@@ -381,7 +454,7 @@ def streaming_group_size(geom: TileGeometry) -> int:
     g = MAX_CHANNELS
     while g >= 2:
         block = g * int(np.prod(geom.ext)) * 4
-        if block + _scratch_bytes_streaming(geom, g) <= \
+        if block + _scratch_bytes_streaming(geom, g, band) <= \
                 VMEM_RESIDENT_BUDGET:
             return g
         g -= 2
@@ -392,14 +465,6 @@ def accumulate_spread_at(out_ref, tids, mats_t, data,
                          geom: TileGeometry, batch2: int,
                          rank_offset: int):
     """accumulate_spread with dynamic leading tile indices ``tids``."""
-    if CHANNEL_LOOP and batch2 > 1:
-        def body(b, _):
-            contrib = chunk_contribution(
-                mats_t, data[rank_offset + b, :], geom)
-            out_ref[tuple(tids) + (b,)] += contrib
-            return 0
-        jax.lax.fori_loop(0, batch2, body, 0)
-        return
     for b in range(batch2):             # static unroll over channels
         contrib = chunk_contribution(mats_t, data[rank_offset + b, :],
                                      geom)
@@ -605,6 +670,99 @@ def _spread_kernel(bounds_ref, payload_hbm, tile_ref,
     jax.lax.fori_loop(start, end, body, 0)
 
 
+def _spread_kernel_banded(bounds_ref, zorig_ref, payload_hbm, tile_ref,
+                          d_scratch, sems, mref,
+                          *, geom: TileGeometry, beta, c, half_width,
+                          batch2, band, horner=None):
+    """Per-tile-grid rank-3 spread with axis-0 banding, combined
+    payload (see accumulate_spread_banded)."""
+    t = _linear_tile_id(geom)
+    start = bounds_ref[t]
+    end = bounds_ref[t + 1]
+    origins = _tile_origins(geom)
+
+    tile_ref[...] = jnp.zeros_like(tile_ref)
+
+    def chunk_dma(slot, k):
+        return pltpu.make_async_copy(
+            payload_hbm.at[:, pl.ds(jnp.minimum(
+                k, geom.num_chunks - 1) * geom.chunk, geom.chunk)],
+            d_scratch.at[slot], sems.at[slot])
+
+    for j in range(NBUF - 1):
+        @pl.when(start + j < end)
+        def _(j=j):
+            chunk_dma(j, start + j).start()
+
+    def body(k, _):
+        d = k - start
+        slot = jax.lax.rem(d, jnp.asarray(NBUF, d.dtype))
+
+        @pl.when(k + NBUF - 1 < end)
+        def _():
+            nslot = jax.lax.rem(d + NBUF - 1, jnp.asarray(NBUF, d.dtype))
+            chunk_dma(nslot, k + NBUF - 1).start()
+
+        chunk_dma(slot, k).wait()
+        accumulate_spread_banded(
+            tile_ref, zorig_ref, k, d_scratch, d_scratch, slot, mref,
+            origins, geom, batch2, band, beta, c, half_width,
+            rank_offset=2 * geom.rank, horner=horner)
+        return 0
+
+    jax.lax.fori_loop(start, end, body, 0)
+
+
+def _spread_kernel_split_banded(bounds_ref, zorig_ref, coords_hbm,
+                                values_hbm, tile_ref, c_scratch,
+                                v_scratch, sems, mref,
+                                *, geom: TileGeometry, beta, c,
+                                half_width, batch2, band, horner=None):
+    """_spread_kernel_banded with split coords/values payloads."""
+    t = _linear_tile_id(geom)
+    start = bounds_ref[t]
+    end = bounds_ref[t + 1]
+    origins = _tile_origins(geom)
+
+    tile_ref[...] = jnp.zeros_like(tile_ref)
+
+    def chunk_dmas(slot, k):
+        return (
+            pltpu.make_async_copy(coords_hbm.at[k], c_scratch.at[slot],
+                                  sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                values_hbm.at[:, pl.ds(jnp.minimum(
+                    k, geom.num_chunks - 1) * geom.chunk, geom.chunk)],
+                v_scratch.at[slot], sems.at[slot, 1]),
+        )
+
+    for j in range(NBUF - 1):
+        @pl.when(start + j < end)
+        def _(j=j):
+            for dma in chunk_dmas(j, start + j):
+                dma.start()
+
+    def body(k, _):
+        d = k - start
+        slot = jax.lax.rem(d, jnp.asarray(NBUF, d.dtype))
+
+        @pl.when(k + NBUF - 1 < end)
+        def _():
+            nslot = jax.lax.rem(d + NBUF - 1, jnp.asarray(NBUF, d.dtype))
+            for dma in chunk_dmas(nslot, k + NBUF - 1):
+                dma.start()
+
+        for dma in chunk_dmas(slot, k):
+            dma.wait()
+        accumulate_spread_banded(
+            tile_ref, zorig_ref, k, c_scratch, v_scratch, slot, mref,
+            origins, geom, batch2, band, beta, c, half_width,
+            rank_offset=0, horner=horner)
+        return 0
+
+    jax.lax.fori_loop(start, end, body, 0)
+
+
 def _spread_kernel_resident_split(*refs, geom: TileGeometry, beta, c,
                                   half_width, batch2, horner=None):
     """_spread_kernel_resident with split coords/values payloads (two
@@ -786,7 +944,7 @@ def _spread_kernel_mats(*refs, geom: TileGeometry, batch2):
 def spread_pallas_tiles(strengths_cm: jax.Array, points_resc,
                         plan: NufftPlan, binned=None, mats=None,
                         coords=None, values_slots=None, geom=None,
-                        out_vma=None):
+                        out_vma=None, band_info=None):
     """[B2, M] channel-major real strengths + rescaled points (or
     (hi, lo) pair) -> ([*tiles, B2, *ext] extended tile blocks, geom).
 
@@ -801,6 +959,10 @@ def spread_pallas_tiles(strengths_cm: jax.Array, points_resc,
     skips the point-order permutation gather — the fused normal-operator
     path. Padded slots must be zero (the chunk-order interp guarantees
     this).
+
+    ``band_info`` = (band, zorigins) from binning.compute_band_origins
+    (rank 3, planned, z-ordered binning): routes to the axis-0-banded
+    kernels, which cut the MXU-bound fold by ~E0/band.
     """
     m = num_points_of(points_resc)
     batch2 = (strengths_cm if values_slots is None
@@ -814,12 +976,23 @@ def spread_pallas_tiles(strengths_cm: jax.Array, points_resc,
     rank = geom.rank
     if binned is None:
         binned = bin_points(points_resc, geom)
-    group = streaming_group_size(geom)
+    if band_info is not None and (
+            rank != 3 or mats is not None
+            or band_info[0] >= geom.ext[0]):
+        band_info = None          # degenerate band: unbanded kernels
+    group = streaming_group_size(
+        geom, band_info[0] if band_info else None)
     if mats is not None:
-        # Prefer the resident single-program kernel where the tile
-        # array fits; larger problems stream mats through the per-tile
-        # grid kernel (_spread_kernel_mats).
-        group = resident_group_size(geom) or group
+        # Prefer the resident single-program kernel where it does not
+        # cost extra passes over the (large) mats payload: at wide
+        # channel counts the streaming kernel's bigger groups re-DMA
+        # the payload fewer times, which the round-3 batch-16 sweep
+        # showed dominating the resident kernel's pipelining edge
+        # (BENCH_NOTES 'multicoil mats re-streaming: measured').
+        gr = resident_group_size(geom)
+        if gr and (group == 0
+                   or -(-batch2 // gr) <= -(-batch2 // group)):
+            group = gr
     if group == 0:
         raise ValueError(
             f"Pallas spread: no channel group fits the VMEM budget for "
@@ -845,18 +1018,18 @@ def spread_pallas_tiles(strengths_cm: jax.Array, points_resc,
                 else strengths_cm[i:i + group],
                 binned, coords_pl, geom, plan, mats, combined,
                 None if values_slots is None
-                else values_slots[i:i + group], out_vma)
+                else values_slots[i:i + group], out_vma, band_info)
             groups.append(g_tiles)
         return jnp.concatenate(groups, axis=rank), geom
     tiles, _ = _spread_group(strengths_cm, binned, coords_pl, geom,
                              plan, mats, combined, values_slots,
-                             out_vma)
+                             out_vma, band_info)
     return tiles, geom
 
 
 def _spread_group(strengths_cm, binned, coords_pl, geom: TileGeometry,
                   plan: NufftPlan, mats=None, combined=False,
-                  values_slots=None, out_vma=None):
+                  values_slots=None, out_vma=None, band_info=None):
     batch2 = (strengths_cm if values_slots is None
               else values_slots).shape[0]
     rank = geom.rank
@@ -929,6 +1102,29 @@ def _spread_group(strengths_cm, binned, coords_pl, geom: TileGeometry,
                        jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ]
+        if band_info is not None:
+            band, zorigins = band_info
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,       # bounds + band origins
+                grid=geom.tiles,
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=pl.BlockSpec(
+                    (1,) * rank + (batch2,) + geom.ext,
+                    lambda *ids: tuple(ids[:len(geom.tiles)])
+                    + (0,) * (rank + 1),
+                    memory_space=pltpu.VMEM),
+                scratch_shapes=payload_scratch + [
+                    pltpu.VMEM((sum(geom.ext[1:]), geom.chunk),
+                               jnp.float32)],
+            )
+            tiles = pl.pallas_call(
+                functools.partial(_spread_kernel_banded, band=band,
+                                  **common),
+                grid_spec=grid_spec,
+                out_shape=out_shape,
+                interpret=use_interpret(),
+            )(binned.tile_bounds, zorigins, payload)
+            return tiles, geom
         if resident_fits(geom, batch2):
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1 + rank,
@@ -974,6 +1170,31 @@ def _spread_group(strengths_cm, binned, coords_pl, geom: TileGeometry,
         pltpu.VMEM((NBUF, values_pl.shape[0], geom.chunk), jnp.float32),
         pltpu.SemaphoreType.DMA((NBUF, 2)),
     ]
+
+    if band_info is not None:
+        band, zorigins = band_info
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,           # bounds + band origins
+            grid=geom.tiles,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (1,) * rank + (batch2,) + geom.ext,
+                lambda *ids: tuple(ids[:len(geom.tiles)])
+                + (0,) * (rank + 1),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=payload_scratch + [
+                pltpu.VMEM((sum(geom.ext[1:]), geom.chunk),
+                           jnp.float32)],
+        )
+        tiles = pl.pallas_call(
+            functools.partial(_spread_kernel_split_banded, band=band,
+                              **common),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=use_interpret(),
+        )(binned.tile_bounds, zorigins, coords_pl, values_pl)
+        return tiles, geom
 
     if resident_fits(geom, batch2):
         grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -544,11 +544,26 @@ class ShardedPlannedNufft:
         self._level = p0._level
         assert all(sh.geom == p0.geom and sh._level == p0._level
                    for sh in self._shards)
+        # Banded rank-3 shards: the band height is static and must be
+        # uniform across the mesh — take the max and re-clip each
+        # shard's origins to it (coverage only grows; see
+        # binning.compute_band_origins).
+        bands = [getattr(sh, "band_info", None) for sh in self._shards]
+        self._band = None
+        per_shard = [(sh.points_resc, sh.binned,
+                      sh.mats if self._level == "mats" else sh.coords)
+                     for sh in self._shards]
+        if self._level == "binned" and all(
+                b is not None for b in bands):
+            band = max(b[0] for b in bands)
+            e0 = self.geom.ext[0]
+            if band < e0:
+                self._band = band
+                per_shard = [
+                    arts + (jnp.minimum(b[1], e0 - band),)
+                    for arts, b in zip(per_shard, bands)]
         self._arts = jax.tree.map(
-            lambda *xs: jnp.stack(xs),
-            *[(sh.points_resc, sh.binned,
-               sh.mats if self._level == "mats" else sh.coords)
-              for sh in self._shards])
+            lambda *xs: jnp.stack(xs), *per_shard)
 
     # -- plumbing -----------------------------------------------------
 
@@ -589,10 +604,15 @@ class ShardedPlannedNufft:
         """Strips the leading shard axis from the shard_mapped artifact
         tree and marks it varying over the active mesh axes."""
         arts = jax.tree.map(lambda x: _vary_over(x[0], active), arts)
-        points_resc, binned, aux = arts
+        if len(arts) == 4:
+            points_resc, binned, aux, zorigins = arts
+            band_info = (self._band, zorigins)
+        else:
+            points_resc, binned, aux = arts
+            band_info = None
         mats = aux if self._level == "mats" else None
         coords = None if self._level == "mats" else aux
-        return points_resc, binned, mats, coords
+        return points_resc, binned, mats, coords, band_info
 
     # -- applies ------------------------------------------------------
 
@@ -648,8 +668,8 @@ class ShardedPlannedNufft:
 
         def local_fn(src, arts):
             src = _vary_over(src, vary)
-            points_resc, binned, mats, coords = self._local_arts(
-                arts, vary)
+            points_resc, binned, mats, coords, band_info = \
+                self._local_arts(arts, vary)
             b = src.shape[0]
             if transform_type == "type_1":
                 mloc = src.shape[1]
@@ -657,7 +677,7 @@ class ShardedPlannedNufft:
                 tiles, _ = spread_pallas_tiles(
                     src_cm.astype(jnp.float32), points_resc, plan,
                     binned=binned, mats=mats, coords=coords, geom=geom,
-                    out_vma=out_vma)
+                    out_vma=out_vma, band_info=band_info)
                 out = dft_truncate_deconvolve_tiled(tiles, plan, geom, b)
                 if pa:
                     out = jax.lax.psum(out, pa)
@@ -665,7 +685,8 @@ class ShardedPlannedNufft:
             tiles = amplify_pad_dft_tiled(src, plan, geom)
             values = interp_pallas_tiled(
                 tiles, points_resc, plan, geom, binned=binned,
-                mats=mats, coords=coords, out_vma=out_vma)
+                mats=mats, coords=coords, out_vma=out_vma,
+                band_info=band_info)
             mloc = values.shape[-1]
             return jnp.moveaxis(values.reshape(b, 2, mloc),
                                 1, -1).astype(src.dtype)
@@ -737,21 +758,22 @@ class ShardedPlannedNufft:
 
         def local_fn(src, arts, sw):
             src = _vary_over(src, vary)
-            points_resc, binned, mats, coords = self._local_arts(
-                arts, vary)
+            points_resc, binned, mats, coords, band_info = \
+                self._local_arts(arts, vary)
             b = src.shape[0]
             tiles = amplify_pad_dft_tiled(src, t2_plan, geom)
             flat = interp_pallas_tiled(
                 tiles, points_resc, t2_plan, geom, binned=binned,
                 mats=mats, coords=coords, chunk_order=True,
-                out_vma=out_vma)                     # [B2, NC*chunk]
+                out_vma=out_vma,
+                band_info=band_info)                 # [B2, NC*chunk]
             if sw is not None:
                 sw_l = _vary_over(jax.lax.stop_gradient(sw[0]), vary)
                 flat = flat * sw_l[None, :]
             tiles1, _ = spread_pallas_tiles(
                 None, points_resc, t1_plan, binned=binned, mats=mats,
                 coords=coords, values_slots=flat, geom=geom,
-                out_vma=out_vma)
+                out_vma=out_vma, band_info=band_info)
             out = dft_truncate_deconvolve_tiled(tiles1, t1_plan, geom, b)
             if pa:
                 out = jax.lax.psum(out, pa)

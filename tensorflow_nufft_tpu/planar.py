@@ -37,7 +37,7 @@ from tensorflow_nufft_tpu.ops.nufft_ops import (
 )
 from tensorflow_nufft_tpu.ops.planar_core import (
     nufft_core_planar,
-    nufft_core_planar_raw,
+    spread_only_core_planar,
 )
 from tensorflow_nufft_tpu.options.options import Options
 from tensorflow_nufft_tpu.plan.plan import (
@@ -243,8 +243,8 @@ def _spread_or_interp(transform_type, source, points, grid_shape, tol,
     max_bs = options.max_batch_size
     if max_bs is None:
         max_bs = auto_max_batch_size(spec, channels_per_batch=2)
-    return _apply_batched(nufft_core_planar_raw, source, points, spec,
-                          elem_rank, out_elem_shape, max_bs)
+    return _apply_batched(spread_only_core_planar, source, points,
+                          spec, elem_rank, out_elem_shape, max_bs)
 
 
 def nudft(source,
@@ -444,16 +444,25 @@ class PlannedNufft:
                                       and mats_payload_bytes(geom)
                                       <= MATS_BYTES_BUDGET)
                            else "binned")
+            if self._level == "binned" and rank == 3:
+                # Rank-3 binned level: coarse-axis-0 geometry +
+                # z-ordered binning feed the banded kernels (the fold
+                # contracts a narrow axis-0 band per sub-chunk; see
+                # binning.compute_band_origins).
+                geom = binning.choose_geometry(
+                    self.plan.fine_shape, self.plan.width,
+                    int(points.shape[0]), banded=True)
         self._planned = self._level != "none"
         if not self._planned:
             return
         self.geom = geom
+        zorder = self._level == "binned" and rank == 3
 
         @jax.jit
         def _prep(pts):
             pr = fold_and_rescale_split(pts, self.plan.fine_shape,
                                         spec.points_range)
-            binned = binning.bin_points(pr, geom)
+            binned = binning.bin_points(pr, geom, zorder=zorder)
             if self._level == "mats":
                 aux = binning.build_kernel_matrix_payload(
                     binned, geom, self.plan)
@@ -470,6 +479,14 @@ class PlannedNufft:
         else:
             self.mats = None
             self.coords = jnp.asarray(aux)
+        self.band_info = None
+        if zorder:
+            from tensorflow_nufft_tpu.kernels.pallas_spread import (
+                RANK3_SUB)
+            band, zorigins = binning.compute_band_origins(
+                self.binned, geom, self.plan.half_width, RANK3_SUB)
+            if band < geom.ext[0]:
+                self.band_info = (band, jnp.asarray(zorigins))
         self._adjoint = None
 
     def adjoint(self) -> "PlannedNufft":
@@ -509,14 +526,15 @@ class PlannedNufft:
             tiles, _ = spread_pallas_tiles(
                 src_cm.astype(jnp.float32), self.points_resc, self.plan,
                 binned=self.binned, mats=self.mats, coords=self.coords,
-                geom=self.geom)
+                geom=self.geom, band_info=self.band_info)
             out = dft_truncate_deconvolve_tiled(
                 tiles, self.plan, self.geom, batch)
             return out.astype(source.dtype)
         tiles = amplify_pad_dft_tiled(source, self.plan, self.geom)
         values = interp_pallas_tiled(
             tiles, self.points_resc, self.plan, self.geom,
-            binned=self.binned, mats=self.mats, coords=self.coords)
+            binned=self.binned, mats=self.mats, coords=self.coords,
+            band_info=self.band_info)
         split = values.reshape(batch, 2, m)
         return jnp.moveaxis(split, 1, -1).astype(source.dtype)
 
@@ -580,13 +598,14 @@ class PlannedNufft:
         flat = interp_pallas_tiled(
             tiles, t2.points_resc, t2.plan, t2.geom, binned=t2.binned,
             mats=t2.mats, coords=t2.coords,
-            chunk_order=True)                       # [B2, NC*chunk]
+            chunk_order=True,
+            band_info=t2.band_info)                 # [B2, NC*chunk]
         if slot_w is not None:
             flat = flat * jax.lax.stop_gradient(slot_w)[None, :]
         tiles1, _ = spread_pallas_tiles(
             None, t2.points_resc, t1.plan, binned=t2.binned,
             mats=t2.mats, coords=t2.coords, values_slots=flat,
-            geom=t2.geom)
+            geom=t2.geom, band_info=t2.band_info)
         out = dft_truncate_deconvolve_tiled(tiles1, t1.plan, t2.geom,
                                             batch)
         return out.astype(source.dtype)

@@ -19,7 +19,8 @@ from tensorflow_nufft_tpu.kernels.pallas_spread import (  # noqa: E402
 from tensorflow_nufft_tpu.fft.planar_fft import (        # noqa: E402
     dft_truncate_deconvolve_tiled)
 
-K2 = 5
+K1 = 4
+K2 = 20
 GRID = (128, 128, 128)
 M = 800_000
 
@@ -30,7 +31,9 @@ strengths = jnp.asarray(to_planar(zs.astype(np.complex64)))[None]
 
 op = tfft.planar.PlannedNufft(pts, GRID, transform_type="type_1")
 print(f"level={op._level} tile={op.geom.tile} chunk={op.geom.chunk}"
-      f" num_tiles={op.geom.num_tiles} num_chunks={op.geom.num_chunks}",
+      f" num_tiles={op.geom.num_tiles} num_chunks={op.geom.num_chunks}"
+      f" band={None if op.band_info is None else op.band_info[0]}"
+      f" ext={op.geom.ext}",
       file=sys.stderr, flush=True)
 
 
@@ -58,8 +61,8 @@ def marginal(stage_fn, label, x):
             np.asarray(f(x))
             best = min(best, time.perf_counter() - t0)
         return best
-    t1, tk = timed(make(1)), timed(make(K2))
-    per = max((tk - t1) / (K2 - 1), 1e-9)
+    t1, tk = timed(make(K1)), timed(make(K2))
+    per = max((tk - t1) / (K2 - K1), 1e-9)
     log(f"{label:30s}: {per * 1e3:9.3f} ms")
 
 
@@ -72,7 +75,8 @@ def s_spread(x):
     src_cm = jnp.moveaxis(x, -1, 1).reshape(2, M)
     tiles, _ = spread_pallas_tiles(
         src_cm.astype(jnp.float32), op.points_resc, op.plan,
-        binned=op.binned, mats=op.mats, coords=op.coords)
+        binned=op.binned, mats=op.mats, coords=op.coords,
+        geom=op.geom, band_info=op.band_info)
     return tiles
 
 
