@@ -66,15 +66,17 @@ def pallas_active(plan: NufftPlan, dtype, num_points=None) -> bool:
                 f"(got {geom.num_chunks * geom.chunk}); use "
                 f"backend='xla' (or 'auto').")
         return True
-    # auto: only on TPU, f32 planar, supported config; spread-only ops
-    # stay on XLA so they remain differentiable through the kernel.
+    # auto: only on TPU, f32 planar, supported config. Spread-only ops
+    # are served too — their gradients come from the analytic-kernel-
+    # derivative custom VJPs (ops.core.spread_only_core), not from
+    # differentiating through the kernels.
     if is_complex_data:
         return False
     try:
         on_tpu = jax.default_backend() == "tpu"
     except RuntimeError:
         on_tpu = False
-    if not on_tpu or plan.spec.spread_only:
+    if not on_tpu:
         return False
     if plan.spec.dtype_name != "complex64":
         return False
@@ -218,6 +220,28 @@ def interp(fine: jax.Array, points_resc: jax.Array,
         from tensorflow_nufft_tpu.kernels import pallas_interp
         return pallas_interp.interp_pallas(fine, points_resc, plan)
     indices, kernels = xla_ops.spread_geometry(points_resc, plan)
+    return xla_ops.interp_xla(fine, indices, kernels, plan)
+
+
+def interp_deriv(fine: jax.Array, points_resc, plan: NufftPlan,
+                 axis: int) -> jax.Array:
+    """``interp`` with the analytic ES-kernel derivative phi' on one
+    axis — the building block of the spread-only custom VJPs
+    (ops.core.spread_only_core): the points-gradient of both standalone
+    ops is a derivative-kernel interpolation of the grid-side quantity.
+    Pallas on TPU (in-kernel phi' evaluation), XLA otherwise; the
+    native engine has no derivative path, so it falls through to XLA.
+    """
+    if pallas_active(plan, fine.dtype, _num_points(points_resc)):
+        from tensorflow_nufft_tpu.kernels import binning, pallas_interp
+        geom = binning.choose_geometry(
+            plan.fine_shape, plan.width, _num_points(points_resc))
+        tiles = binning.extend_tiles(fine.astype(jnp.float32), geom)
+        return pallas_interp.interp_pallas_tiled(
+            tiles, points_resc, plan, geom,
+            deriv_axis=axis).astype(fine.dtype)
+    indices, kernels = xla_ops.spread_geometry(points_resc, plan,
+                                               deriv_axis=axis)
     return xla_ops.interp_xla(fine, indices, kernels, plan)
 
 

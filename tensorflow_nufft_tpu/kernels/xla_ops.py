@@ -173,6 +173,24 @@ def es_kernel_horner(z: jax.Array, horner, half_width: float) -> jax.Array:
     return jnp.where(inside, acc, dt.type(0.0))
 
 
+def es_kernel_deriv(z: jax.Array, beta: float, c: float,
+                    half_width: float) -> jax.Array:
+    """Analytic ES-kernel derivative
+    phi'(z) = -beta c z phi(z) / sqrt(1 - c z^2), zero outside the
+    support. Used by the spread-only custom VJPs (the reference defines
+    no gradient for Spread/Interp at all; this exceeds parity). Direct
+    evaluation only — the Horner fit approximates phi, not phi'."""
+    inside = jnp.abs(z) < half_width
+    arg = 1.0 - c * jnp.square(z)
+    # Floor keeps the edge-of-support derivative finite (the true
+    # derivative diverges as arg -> 0; measure-zero, and the clamp
+    # matches autodiff of es_kernel's sqrt at the same points).
+    arg_safe = jnp.where(inside, jnp.maximum(arg, 1e-12), 1.0)
+    r = jnp.sqrt(arg_safe)
+    val = -beta * c * z * jnp.exp(beta * r) / r
+    return jnp.where(inside, val, 0.0)
+
+
 def es_kernel_for(z: jax.Array, plan) -> jax.Array:
     """Kernel evaluation dispatch: fitted Horner polynomial when the
     plan has one and the computation is float32, direct exp/sqrt
@@ -194,7 +212,7 @@ def _match_vma(init: jax.Array, like: jax.Array) -> jax.Array:
     return jax.lax.pvary(init, tuple(vma))
 
 
-def spread_geometry(points_resc, plan: NufftPlan
+def spread_geometry(points_resc, plan: NufftPlan, deriv_axis=None
                     ) -> Tuple[Tuple[jax.Array, ...], Tuple[jax.Array, ...]]:
     """Per-dimension spreading indices and kernel values.
 
@@ -203,6 +221,8 @@ def spread_geometry(points_resc, plan: NufftPlan
             [M, rank] array or a two-float (hi, lo) pair of such arrays
             (see ``fold_and_rescale_split``).
         plan: the static plan.
+        deriv_axis: if set, that axis's kernel values are the analytic
+            derivative phi'(z) instead of phi(z) (spread-only VJPs).
 
     Returns:
         (indices, kernels): per dim, ``indices[d]`` is an int32 [M, width]
@@ -227,7 +247,10 @@ def spread_geometry(points_resc, plan: NufftPlan
         z = i0[:, None] + offsets[None, :] - s[:, None]      # [M, width]
         if points_lo is not None:
             z = z - points_lo[:, d][:, None]
-        ker = es_kernel_for(z, plan)
+        if deriv_axis == d:
+            ker = es_kernel_deriv(z, plan.beta, plan.c, plan.half_width)
+        else:
+            ker = es_kernel_for(z, plan)
         idx = (i0.astype(jnp.int32)[:, None]
                + offsets.astype(jnp.int32)[None, :])
         idx = jnp.mod(idx, plan.fine_shape[d])

@@ -131,45 +131,6 @@ def test_pallas_batched(rng, batch, transform_type):
     assert _relerr(b, a) < 1e-4
 
 
-@pytest.mark.parametrize("planned", [False, True])
-@pytest.mark.parametrize("transform_type", ["type_1", "type_2"])
-def test_channel_loop_matches_unroll(rng, monkeypatch, transform_type,
-                                     planned):
-    """CHANNEL_LOOP=True (in-kernel fori_loop over channels with reused
-    contraction temporaries — the multicoil wide-group variant) is
-    bit-identical to the static unroll: the same per-channel matmuls
-    run in the same order. Covers the split streaming kernels
-    (unplanned, 12 channels > one group) and the resident mats kernels
-    (planned)."""
-    from tensorflow_nufft_tpu.kernels import pallas_spread
-    grid = (32, 32)
-    m = 300
-    batch = 6                            # 12 channels: grouped 8 + 4
-    pts = _adversarial_points(rng, m, 2)
-    if transform_type == "type_1":
-        src = to_planar(random_complex(rng, (batch, m), np.complex64))
-        kw = dict(grid_shape=grid, transform_type="type_1")
-    else:
-        src = to_planar(random_complex(rng, (batch,) + grid,
-                                       np.complex64))
-        kw = dict(transform_type="type_2")
-    opts = tfft.Options(backend="pallas")
-
-    def run():
-        if planned:
-            op = tfft.planar.PlannedNufft(
-                pts, grid, transform_type=transform_type, options=opts)
-            assert op._planned
-            return np.asarray(op(src))
-        return np.asarray(tfft.planar.nufft(src, pts, options=opts,
-                                            **kw))
-
-    base = run()
-    monkeypatch.setattr(pallas_spread, "CHANNEL_LOOP", True)
-    looped = run()
-    np.testing.assert_array_equal(looped, base)
-
-
 @pytest.mark.parametrize("transform_type", ["type_1", "type_2"])
 def test_pallas_streaming_rank3_subchunk(rng, monkeypatch,
                                          transform_type):

@@ -18,7 +18,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_one(width: int, loop: bool = False) -> None:
+def run_one(width: int) -> None:
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -28,7 +28,6 @@ def run_one(width: int, loop: bool = False) -> None:
     from tensorflow_nufft_tpu.kernels import pallas_spread
 
     pallas_spread.MAX_CHANNELS = width
-    pallas_spread.CHANNEL_LOOP = loop
     GRID, M, B, TOL, K2 = 256, 200_000, 16, 1e-6, 17
     rng = np.random.default_rng(7)
     pts = rng.uniform(-np.pi, np.pi, (M, 2)).astype(np.float32)
@@ -68,35 +67,28 @@ def run_one(width: int, loop: bool = False) -> None:
 
     t1, tk = timed(make(1)), timed(make(K2))
     per = max((tk - t1) / (K2 - 1), 1e-9)
-    print(f"width={width} loop={loop}: {per * 1e3:.3f} "
+    print(f"width={width}: {per * 1e3:.3f} "
           f"ms/batch16-transform ({B * M / per / 1e6:.1f}M pts/s)",
           flush=True)
 
 
 def main():
-    # Unrolled widths, then the in-kernel channel loop (CHANNEL_LOOP):
-    # loop@8 isolates the loop's pipelining cost at equal width;
-    # loop@16/32 measure the wide-group payload-DMA win it enables.
-    for width, loop in ((8, 0), (16, 0), (32, 0),
-                        (8, 1), (16, 1), (32, 1)):
-        print(f"=== MAX_CHANNELS={width} loop={loop} ===", flush=True)
+    for width in (8, 16, 32):
+        print(f"=== MAX_CHANNELS={width} ===", flush=True)
         try:
             r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 str(width), str(loop)],
+                [sys.executable, os.path.abspath(__file__), str(width)],
                 cwd=REPO, timeout=2400)
             if r.returncode != 0:
-                print(f"width={width} loop={loop}: FAILED "
-                      f"rc={r.returncode}", flush=True)
+                print(f"width={width}: FAILED rc={r.returncode}",
+                      flush=True)
         except subprocess.TimeoutExpired:
             # One hung remote compile must not kill the sweep.
-            print(f"width={width} loop={loop}: TIMEOUT after 2400s",
-                  flush=True)
+            print(f"width={width}: TIMEOUT after 2400s", flush=True)
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1:
-        run_one(int(sys.argv[1]),
-                bool(int(sys.argv[2])) if len(sys.argv) > 2 else False)
+        run_one(int(sys.argv[1]))
     else:
         main()
