@@ -96,12 +96,76 @@ def _replace(spec: PlanSpec, **kw) -> PlanSpec:
 def nufft_core_raw(source: jax.Array, points: jax.Array,
                    spec: PlanSpec) -> jax.Array:
     """Like ``nufft_core`` but without the custom VJP: JAX differentiates
-    through the spread/interp kernels themselves. Used for the standalone
-    ``interp``/``spread`` ops, whose exact (kernel-derivative) gradients
-    have no closed NUFFT form. The reference defines no gradients for
-    these ops at all (only NUFFT has one: python/ops/nufft_ops.py:126)."""
+    through the spread/interp kernels themselves (XLA path only — the
+    Pallas kernels are not transposable; the standalone ops use
+    ``spread_only_core`` instead)."""
     plan = make_plan(spec)
     return _execute(source, points, plan)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def spread_only_core(source: jax.Array, points: jax.Array,
+                     spec: PlanSpec) -> jax.Array:
+    """Standalone spread/interp (spec.spread_only) with an analytic
+    custom VJP.
+
+    The reference defines no gradients for Spread/Interp at all (only
+    NUFFT has one: python/ops/nufft_ops.py:126); this exceeds parity.
+    grad_source is the adjoint op (the kernels are real, so the plain
+    transpose is just the swapped type); grad_points uses the analytic
+    ES-kernel derivative phi'(z) = -beta c z phi(z)/sqrt(1 - c z^2)
+    via a derivative-kernel interpolation — which lets the forward run
+    the (non-differentiable-through) Pallas/native kernels on TPU.
+    """
+    return _execute(source, points, make_plan(spec))
+
+
+def _spread_only_grad_points(grid_side: jax.Array, pts_side: jax.Array,
+                             points: jax.Array, plan: NufftPlan):
+    """Shared grad-points for the spread-only VJPs (complex form).
+
+    grad_x[m, d] = Re( sum_b pts_side[b, m]
+                       * scale * Dinterp_d(grid_side)[b, m] )
+                   * (-nf_d / 2pi)
+    where Dinterp_d interpolates with phi' on axis d. The -nf_d/2pi
+    factor is dz/dx of the fold/rescale (z = index - s(x), s = x
+    nf/2pi + nf/2). JAX's complex-vjp pairing is bilinear
+    (unconjugated), hence the plain product under Re (cf.
+    _nufft_core_bwd)."""
+    spec = plan.spec
+    points_resc = fold_and_rescale_split(points, plan.fine_shape,
+                                         spec.points_range)
+    grads = []
+    for d in range(plan.rank):
+        aux = dispatch.interp_deriv(grid_side, points_resc, plan, d)
+        g = jnp.real(jnp.sum(pts_side * aux, axis=0))
+        factor = -plan.kernel_scale * plan.fine_shape[d] / (2.0 * np.pi)
+        grads.append(g * factor)
+    return jnp.stack(grads, axis=-1).astype(points.dtype)
+
+
+def _spread_only_fwd(source, points, spec):
+    return spread_only_core(source, points, spec), (source, points)
+
+
+def _spread_only_bwd(spec, residuals, cotangent):
+    source, points = residuals
+    plan = make_plan(spec)
+    swapped = _replace(spec,
+                       transform_type=("type_2"
+                                       if spec.transform_type == "type_1"
+                                       else "type_1"))
+    grad_source = spread_only_core(cotangent, points, swapped)
+    if spec.transform_type == "type_2":
+        grid_side, pts_side = source, cotangent
+    else:
+        grid_side, pts_side = cotangent, source
+    grad_points = _spread_only_grad_points(grid_side, pts_side, points,
+                                           plan)
+    return grad_source, grad_points
+
+
+spread_only_core.defvjp(_spread_only_fwd, _spread_only_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

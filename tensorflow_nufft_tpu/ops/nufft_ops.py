@@ -21,7 +21,7 @@ import numpy as np
 
 from tensorflow_nufft_tpu.ops.core import (
     nufft_core,
-    nufft_core_raw,
+    spread_only_core,
 )
 from tensorflow_nufft_tpu.options.options import Options
 from tensorflow_nufft_tpu.plan.plan import (
@@ -375,8 +375,8 @@ def _spread_or_interp(transform_type, source, points, grid_shape, tol,
     max_bs = options.max_batch_size
     if max_bs is None:
         max_bs = auto_max_batch_size(spec)
-    return _apply_batched(nufft_core_raw, source, points, spec, elem_rank,
-                          out_elem_shape, max_bs)
+    return _apply_batched(spread_only_core, source, points, spec,
+                          elem_rank, out_elem_shape, max_bs)
 
 
 def nudft(source,

@@ -116,9 +116,56 @@ def nufft_core_planar(source: jax.Array, points: jax.Array,
 
 
 def nufft_core_planar_raw(source, points, spec):
-    """No custom VJP: JAX differentiates through the kernels (used for
-    standalone interp/spread, as in ``ops.core.nufft_core_raw``)."""
+    """No custom VJP: JAX differentiates through the kernels (XLA path
+    only; the standalone ops use ``spread_only_core_planar``)."""
     return _execute_planar(source, points, make_plan(spec))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def spread_only_core_planar(source: jax.Array, points: jax.Array,
+                            spec: PlanSpec) -> jax.Array:
+    """Planar standalone spread/interp with an analytic custom VJP
+    (see ops.core.spread_only_core). Everything is real here, so
+    grad_source is the plain transpose (swapped type; there are no
+    phases to conjugate in a spread-only op) and grad_points is the
+    derivative-kernel interpolation contracted channel-wise."""
+    return _execute_planar(source, points, make_plan(spec))
+
+
+def _spread_only_planar_fwd(source, points, spec):
+    return (spread_only_core_planar(source, points, spec),
+            (source, points))
+
+
+def _spread_only_planar_bwd(spec, residuals, cotangent):
+    source, points = residuals
+    plan = make_plan(spec)
+    swapped = _replace(spec,
+                       transform_type=("type_2"
+                                       if spec.transform_type == "type_1"
+                                       else "type_1"))
+    grad_source = spread_only_core_planar(cotangent, points, swapped)
+    if spec.transform_type == "type_2":
+        grid_side, pts_side = source, cotangent   # [B,*grid,2], [B,M,2]
+    else:
+        grid_side, pts_side = cotangent, source
+    batch = grid_side.shape[0]
+    points_resc = fold_and_rescale_split(points, plan.fine_shape,
+                                         spec.points_range)
+    grid_cm = _fold(grid_side)                       # [2B, *grid]
+    grads = []
+    for d in range(plan.rank):
+        aux = dispatch.interp_deriv(grid_cm, points_resc, plan, d)
+        aux = _unfold(aux, batch)                    # [B, M, 2]
+        g = jnp.sum(pts_side * aux, axis=(0, 2))     # real contraction
+        factor = -plan.kernel_scale * plan.fine_shape[d] / (2.0 * np.pi)
+        grads.append(g * factor)
+    grad_points = jnp.stack(grads, axis=-1).astype(points.dtype)
+    return grad_source, grad_points
+
+
+spread_only_core_planar.defvjp(_spread_only_planar_fwd,
+                               _spread_only_planar_bwd)
 
 
 def _fwd(source, points, spec):
