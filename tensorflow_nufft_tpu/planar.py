@@ -364,6 +364,28 @@ def _planned_bwd(planned, _, cotangent):
 _planned_call.defvjp(_planned_fwd, _planned_bwd)
 
 
+def _planned_zorder(level: str, rank: int) -> bool:
+    """Whether this plan level bins z-ordered for the banded kernels."""
+    return level == "binned" and rank == 3
+
+
+def _planned_prep(pts, *, plan, geom, level, points_range):
+    """Points-side planned preprocessing (fold, bin, payload) — pure
+    and jit/vmap-able; shared by PlannedNufft.__init__ and the batched
+    shard builder (batch_build)."""
+    from tensorflow_nufft_tpu.kernels import binning
+    from tensorflow_nufft_tpu.kernels.xla_ops import (
+        fold_and_rescale_split)
+    pr = fold_and_rescale_split(pts, plan.fine_shape, points_range)
+    binned = binning.bin_points(
+        pr, geom, zorder=_planned_zorder(level, plan.rank))
+    if level == "mats":
+        aux = binning.build_kernel_matrix_payload(binned, geom, plan)
+    else:
+        aux = binning.build_coords_payload(binned, geom)
+    return pr, binned, aux
+
+
 class PlannedNufft:
     """Planned planar NUFFT: fixed points, repeated applies.
 
@@ -456,21 +478,17 @@ class PlannedNufft:
         if not self._planned:
             return
         self.geom = geom
-        zorder = self._level == "binned" and rank == 3
+        arts = jax.jit(_functools.partial(
+            _planned_prep, plan=self.plan, geom=geom, level=self._level,
+            points_range=spec.points_range))(points)
+        self._set_artifacts(arts)
+        self._adjoint = None
 
-        @jax.jit
-        def _prep(pts):
-            pr = fold_and_rescale_split(pts, self.plan.fine_shape,
-                                        spec.points_range)
-            binned = binning.bin_points(pr, geom, zorder=zorder)
-            if self._level == "mats":
-                aux = binning.build_kernel_matrix_payload(
-                    binned, geom, self.plan)
-            else:
-                aux = binning.build_coords_payload(binned, geom)
-            return pr, binned, aux
-
-        pr, binned, aux = _prep(points)
+    def _set_artifacts(self, arts):
+        """Installs one shard's (points_resc, binned, aux) prep outputs
+        and derives the banded-kernel statics."""
+        from tensorflow_nufft_tpu.kernels import binning
+        pr, binned, aux = arts
         self.points_resc = jax.tree.map(jnp.asarray, pr)
         self.binned = jax.tree.map(jnp.asarray, binned)
         if self._level == "mats":
@@ -480,14 +498,56 @@ class PlannedNufft:
             self.mats = None
             self.coords = jnp.asarray(aux)
         self.band_info = None
-        if zorder:
+        if _planned_zorder(self._level, self.plan.rank):
             from tensorflow_nufft_tpu.kernels.pallas_spread import (
                 RANK3_SUB)
             band, zorigins = binning.compute_band_origins(
-                self.binned, geom, self.plan.half_width, RANK3_SUB)
-            if band < geom.ext[0]:
+                self.binned, self.geom, self.plan.half_width, RANK3_SUB)
+            if band < self.geom.ext[0]:
                 self.band_info = (band, jnp.asarray(zorigins))
-        self._adjoint = None
+
+    @classmethod
+    def batch_build(cls, points_stack, grid_shape,
+                    transform_type="type_2", fft_direction="forward",
+                    tol: float = 1e-6,
+                    options: Optional[Options] = None):
+        """Builds one PlannedNufft per leading slice of ``points_stack``
+        ([S, M, rank]) with the points-side preprocessing of ALL shards
+        traced and executed as ONE vmapped jit — plan-build wall time
+        is then ~flat in S instead of S sequential prep dispatches
+        (the regime that matters for ShardedPlannedNufft on big
+        meshes). Equal shard sizes mean identical static
+        geometry/level, so one trace serves every shard.
+        """
+        points_stack = jnp.asarray(points_stack)
+        s = points_stack.shape[0]
+        p0 = cls(points_stack[0], grid_shape,
+                 transform_type=transform_type,
+                 fft_direction=fft_direction, tol=tol, options=options)
+        if s == 1 or not p0._planned:
+            rest = [cls(points_stack[i], grid_shape,
+                        transform_type=transform_type,
+                        fft_direction=fft_direction, tol=tol,
+                        options=options) for i in range(1, s)]
+            return [p0] + rest
+        prep = _functools.partial(
+            _planned_prep, plan=p0.plan, geom=p0.geom, level=p0._level,
+            points_range=p0.spec.points_range)
+        arts_stack = jax.jit(jax.vmap(prep))(points_stack)
+        shards = [p0]
+        for i in range(1, s):
+            sh = object.__new__(cls)
+            sh.__dict__.update(p0.__dict__)
+            sh.points = points_stack[i]
+            sh._adjoint = None
+            sh._set_artifacts(
+                jax.tree.map(lambda x, i=i: x[i], arts_stack))
+            shards.append(sh)
+        # Shard 0's artifacts came from its own (already executed)
+        # single-shard prep; re-install from the stack so all shards
+        # share one provenance (bitwise identical either way).
+        p0._set_artifacts(jax.tree.map(lambda x: x[0], arts_stack))
+        return shards
 
     def adjoint(self) -> "PlannedNufft":
         """The adjoint planned transform (swapped type and direction),

@@ -181,3 +181,34 @@ def test_zorder_binning_roundtrip(force_binned):
     assert zo.shape[0] == geom.num_chunks * max(
         geom.chunk // min(pallas_spread.RANK3_SUB, geom.chunk), 1)
     assert np.all(zo >= 0) and np.all(zo + band <= geom.ext[0])
+
+
+def test_batch_build_matches_serial(force_binned):
+    """PlannedNufft.batch_build (one vmapped prep for all shards — the
+    ShardedPlannedNufft constructor path) produces bitwise-identical
+    artifacts and applies to S sequential constructions."""
+    rng = np.random.default_rng(21)
+    s_count, m, grid = 3, 1000, (24, 16, 16)
+    pts = rng.uniform(-np.pi, np.pi,
+                      (s_count, m, 3)).astype(np.float32)
+    opts = Options(backend="pallas")
+    batch = planar.PlannedNufft.batch_build(
+        pts, grid, transform_type="type_1", tol=1e-6, options=opts)
+    for i, b in enumerate(batch):
+        s = planar.PlannedNufft(pts[i], grid, transform_type="type_1",
+                                tol=1e-6, options=opts)
+        assert b._level == s._level == "binned"
+        np.testing.assert_array_equal(np.asarray(b.binned.invpos),
+                                      np.asarray(s.binned.invpos))
+        np.testing.assert_array_equal(np.asarray(b.coords),
+                                      np.asarray(s.coords))
+        assert (b.band_info is None) == (s.band_info is None)
+        if b.band_info is not None:
+            assert b.band_info[0] == s.band_info[0]
+            np.testing.assert_array_equal(
+                np.asarray(b.band_info[1]), np.asarray(s.band_info[1]))
+        z = (rng.standard_normal(m)
+             + 1j * rng.standard_normal(m)).astype(np.complex64)
+        src = planar.to_planar(z)[None]
+        np.testing.assert_array_equal(np.asarray(b(src)),
+                                      np.asarray(s(src)))
