@@ -49,6 +49,7 @@ wheel:
 
 docs:
 	$(PYTHON) docs/gen_api.py
+	$(PYTHON) docs/build_site.py
 
 clean:
 	rm -rf build dist *.egg-info .pytest_cache
