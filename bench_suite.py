@@ -141,11 +141,13 @@ def nufft_case(name, grid_shape, num_points, transform_type,
     return attach_peak(result, mem_base)
 
 
-def type3_case(k2=7):
-    """Type-3 (nonuniform -> nonuniform): 200k points -> 200k target
-    frequencies, 2D, planned planar pipeline. No reference counterpart
-    (the reference never implemented type-3); throughput counts source
-    + target points per second."""
+def type3_case(name="2d_t3_200k_200k", rank=2, m=200_000,
+               k_targets=200_000, t_range=64.0, k2=7, planned=True):
+    """Type-3 (nonuniform -> nonuniform): m source points -> k_targets
+    target frequencies, planned (Type3Plan) or unplanned (the
+    functional nufft_type3, re-planning statics every call inside the
+    jit). No reference counterpart (the reference never implemented
+    type-3); throughput counts source + target points per second."""
     import jax
     import jax.numpy as jnp
     import tensorflow_nufft_tpu as tfft
@@ -153,30 +155,36 @@ def type3_case(k2=7):
 
     mem_base = peak_bytes()
     rng = np.random.default_rng(7)
-    m = k_targets = 200_000
-    x = rng.uniform(-np.pi, np.pi, (m, 2)).astype(np.float32)
-    t = rng.uniform(-64.0, 64.0, (k_targets, 2)).astype(np.float32)
+    x = rng.uniform(-np.pi, np.pi, (m, rank)).astype(np.float32)
+    t = rng.uniform(-t_range, t_range,
+                    (k_targets, rank)).astype(np.float32)
     z = (rng.standard_normal(m) + 1j * rng.standard_normal(m))
     src = jnp.asarray(to_planar(z.astype(np.complex64)))[None]
     op = tfft.planar.Type3Plan(x, t)
+    xj, tj = jnp.asarray(x), jnp.asarray(t)
 
     def make(k):
         def f(s):
             def body(i, acc):
                 sp = s + 1e-3 * jnp.sin(s * i.astype(jnp.float32))
-                out = jax.lax.optimization_barrier(op(sp))
+                if planned:
+                    out = op(sp)
+                else:
+                    out = tfft.planar.nufft_type3(sp, xj, tj)
+                out = jax.lax.optimization_barrier(out)
                 return acc + out.ravel()[0]
             return jax.lax.fori_loop(0, k, body, 0.0)
         return f
 
     per = marginal_time(make, (src,), k2=k2)
     result = {
-        "metric": "2d_t3_200k_200k",
+        "metric": name,
         "value": round((m + k_targets) / per, 1),
         "unit": "points/s",
         "ms_per_transform": round(per * 1e3, 3),
         "fine_shape": list(op.fine_shape),
-        "planned_spread": op._spread_level,
+        "planned": planned,
+        "planned_spread": op._spread_level if planned else "none",
     }
     return attach_peak(result, mem_base)
 
@@ -258,6 +266,16 @@ def _case_registry(quick: bool):
                               k2=9, points_arr=radial)
         reg["2d_t2_512_radial_b8"] = radial_case
         reg["2d_t3_200k_200k"] = type3_case
+        # 3D type-3 at MRI field-map scale (VERDICT r2 #8): planned vs
+        # unplanned on the same 500k->500k problem. t_range 16 keeps
+        # the internal fine grid ~64^3 (nf ~ 2*sigma*X*S/pi + w).
+        reg["3d_t3_500k_500k"] = (
+            lambda: type3_case("3d_t3_500k_500k", rank=3, m=500_000,
+                               k_targets=500_000, t_range=16.0, k2=5))
+        reg["3d_t3_500k_500k_unplanned"] = (
+            lambda: type3_case("3d_t3_500k_500k_unplanned", rank=3,
+                               m=500_000, k_targets=500_000,
+                               t_range=16.0, k2=5, planned=False))
         reg["cg_sense"] = cg_sense_case
         reg["cg_sense_toeplitz"] = (
             lambda: cg_sense_case(toeplitz=True))

@@ -199,11 +199,12 @@ def geometry_valid(geom: TileGeometry) -> bool:
 
 
 def ranking_is_exact(geom: TileGeometry) -> bool:
-    """Whether the one-hot f32 ranking arithmetic in ``bin_points`` is
-    exact for this geometry. Slot indices reach ``num_chunks * chunk``;
-    float32 integer arithmetic is exact only below 2**24, beyond which
-    points would silently land in wrong slots. Callers must fall back to
-    the XLA path (or raise) when this is False."""
+    """Whether the one-hot/prefix-sum f32 ranking arithmetic in
+    ``bin_points`` is exact for this geometry. Slot indices reach
+    ``num_chunks * chunk``; float32 integer arithmetic is exact only
+    below 2**24. Beyond that ``bin_points`` switches to the sort-based
+    int32 ranking (``_ranks_and_starts_bigm``), exact to 2**31 — the
+    Pallas path keeps serving, just with a costlier binning pass."""
     return geom.num_chunks * geom.chunk < 2 ** 24
 
 
@@ -373,6 +374,48 @@ def _ranks_and_starts_celled(tid: jax.Array, zc: jax.Array,
     return rank, counts, chunk_base, chunk_starts
 
 
+def _ranks_and_starts_bigm(tid: jax.Array, num_tiles: int, chunk: int,
+                           zc=None, zcells: int = 1):
+    """Sort-based ranking for point sets beyond the f32-exact regime
+    (``ranking_is_exact(geom)`` False, M*padding >= 2**24 slots — the
+    10M+-point 3D MRI/CT regime).
+
+    The prefix-sum forms above keep everything in f32 (their one-hot /
+    per-segment-histogram tables are the measured-fast shape at
+    M ~ 1e5-1e6), but past 2**24 slots the f32 arithmetic silently
+    misplaces points AND the [M/128, T+1] histogram reaches GB scale.
+    Here one stable ``argsort`` over the (tile, cell) key groups the
+    points, per-tile ranks come from a segmented iota over the sorted
+    stream (boundary-max scan, no per-segment tables), and every count
+    is int32 — exact to 2**31 slots. O(M log^2 M) bitonic sort work vs
+    the prefix forms' O(M), so this only serves as the big-M path.
+
+    Returns (padpos [M] int32 in point order, counts [T] int32,
+    chunk_starts [T] int32).
+    """
+    m = tid.shape[0]
+    key = tid if zc is None else tid * zcells + zc
+    order = jnp.argsort(key, stable=True)            # slot -> point
+    tid_sorted = tid[order]
+    counts = jnp.zeros((num_tiles,), jnp.int32).at[tid].add(
+        1, mode="drop")
+    rounds = jnp.maximum((counts + chunk - 1) // chunk, 1)
+    chunk_starts = jnp.cumsum(rounds) - rounds       # [T] int32
+    # Rank within tile = position since the tile's first sorted slot
+    # (a running max of boundary positions; stable sort keeps arrival
+    # order within equal keys, matching the prefix-sum forms).
+    iota = jnp.arange(m, dtype=jnp.int32)
+    boundary = jnp.concatenate(
+        [jnp.ones((1,), bool), tid_sorted[1:] != tid_sorted[:-1]])
+    tile_start = jax.lax.associative_scan(
+        jax.lax.max, jnp.where(boundary, iota, 0))
+    padpos_sorted = (chunk_starts[tid_sorted] * chunk
+                     + (iota - tile_start))
+    padpos = jnp.zeros((m,), jnp.int32).at[order].set(
+        padpos_sorted, unique_indices=True)
+    return padpos, counts, chunk_starts
+
+
 def sort_cell_size(geom: TileGeometry) -> int:
     """Axis-0 cell size for z-ordered binning: fine enough that a
     128-point sub-chunk's axis-0 span stays tight, coarse enough that
@@ -403,12 +446,6 @@ def bin_points(points_resc, geom: TileGeometry,
     Returns:
         BinnedPoints with static shapes independent of the distribution.
     """
-    if not ranking_is_exact(geom):
-        raise ValueError(
-            f"Point set too large for the Pallas binning path: slot "
-            f"indices reach {geom.num_chunks * geom.chunk} >= 2**24, "
-            f"beyond float32 integer exactness. Use the XLA backend "
-            f"(Options(backend='xla')) or split the point set.")
     if isinstance(points_resc, tuple):
         points_hi, points_lo = points_resc
     else:
@@ -431,21 +468,28 @@ def bin_points(points_resc, geom: TileGeometry,
     for d in range(1, rank):
         tid = tid * tiles[d] + tidx[d]
 
+    zc, zcells = None, 1
     if zorder:
         cell = sort_cell_size(geom)
         zcells = geom.tile[0] // cell
         zc = jnp.clip(
             (points_hi[:, 0] // cell).astype(jnp.int32)
             - tidx[0] * (geom.tile[0] // cell), 0, zcells - 1)
+    if not ranking_is_exact(geom):
+        padpos_raw, counts, chunk_starts = _ranks_and_starts_bigm(
+            tid, num_tiles, chunk, zc=zc, zcells=zcells)
+    elif zorder:
         rank_in_tile, counts, chunk_base, chunk_starts = \
             _ranks_and_starts_celled(tid, zc, num_tiles, zcells, chunk)
+        padpos_raw = chunk_base + rank_in_tile
     else:
         rank_in_tile, counts, chunk_base, chunk_starts = \
             _ranks_and_starts(tid, num_tiles, chunk)
+        padpos_raw = chunk_base + rank_in_tile
     # Materialize once: several scatters consume padpos, and XLA's
     # scatter fusion would otherwise duplicate the whole ranking chain
     # into each of them (measured as a 2-3x pipeline slowdown).
-    padpos = jax.lax.optimization_barrier(chunk_base + rank_in_tile)
+    padpos = jax.lax.optimization_barrier(padpos_raw)
 
     # Chunk -> tile mapping; chunks beyond the used range attach to the
     # last used tile (contiguous run, so no spurious re-initialization).

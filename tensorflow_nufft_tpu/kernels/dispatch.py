@@ -18,9 +18,18 @@ from tensorflow_nufft_tpu.kernels import xla_ops
 from tensorflow_nufft_tpu.plan.plan import NufftPlan
 
 
-def pallas_active(plan: NufftPlan, dtype, num_points=None) -> bool:
+def pallas_active(plan: NufftPlan, dtype, num_points=None,
+                  planned: bool = False) -> bool:
     """Whether the Pallas path serves this plan for real data of
-    ``dtype`` (the Pallas kernels are planar/real-only)."""
+    ``dtype`` (the Pallas kernels are planar/real-only).
+
+    ``planned=True`` (PlannedNufft-style callers) additionally accepts
+    rank-3 geometries that only fit VMEM through the axis-0-banded
+    kernels — banding needs plan-time z-ordered binning, so unplanned
+    dispatch can never use it (and must not optimistically claim it:
+    the kernel launch would raise instead of falling back to XLA).
+    PlannedNufft re-plans on the unbanded geometry if the band
+    degenerates at plan time (clustered z distributions)."""
     if plan.spec.backend == "xla":
         return False
     is_complex_data = jnp.issubdtype(np.dtype(dtype),
@@ -57,14 +66,6 @@ def pallas_active(plan: NufftPlan, dtype, num_points=None) -> bool:
                 f"backend='pallas' cannot tile fine shape "
                 f"{plan.fine_shape} (a dim is smaller than twice the "
                 f"halo {geom.pad}); use backend='xla' (or 'auto').")
-        if (num_points is not None
-                and not binning.ranking_is_exact(geom)):
-            raise ValueError(
-                f"backend='pallas' cannot bin {int(num_points)} points "
-                f"on fine shape {plan.fine_shape}: the f32 slot "
-                f"arithmetic loses integer exactness at >= 2**24 slots "
-                f"(got {geom.num_chunks * geom.chunk}); use "
-                f"backend='xla' (or 'auto').")
         return True
     # auto: only on TPU, f32 planar, supported config. Spread-only ops
     # are served too — their gradients come from the analytic-kernel-
@@ -91,12 +92,19 @@ def pallas_active(plan: NufftPlan, dtype, num_points=None) -> bool:
     if (ps.streaming_group_size(geom) == 0
             and ps.resident_group_size(geom) == 0):
         # Not even a 2-channel group fits the VMEM budget (very wide
-        # kernels on large 3D tiles): fall back to XLA.
-        return False
-    if num_points is not None and not binning.ranking_is_exact(geom):
-        # The f32 slot arithmetic in the binning pass would lose
-        # integer exactness (>= 2**24 slots): fall back to XLA.
-        return False
+        # kernels on large 3D tiles): fall back to XLA — unless a
+        # planned rank-3 caller can reach the geometry through the
+        # banded kernels (checked with the smallest usable band; the
+        # real band is known only after plan-time binning).
+        if not (planned and plan.rank == 3):
+            return False
+        bgeom = binning.choose_geometry(
+            plan.fine_shape, plan.width,
+            int(num_points) if num_points is not None else 1,
+            banded=True)
+        if (not binning.geometry_valid(bgeom)
+                or ps.streaming_group_size(bgeom, band=8) == 0):
+            return False
     return True
 
 

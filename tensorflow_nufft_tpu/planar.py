@@ -451,7 +451,7 @@ class PlannedNufft:
         # unplanned op.
         self._level = "none"
         if dispatch.pallas_active(self.plan, points.dtype,
-                                  points.shape[0]):
+                                  points.shape[0], planned=True):
             from tensorflow_nufft_tpu.kernels.pallas_spread import (
                 MATS_BYTES_BUDGET, mats_payload_bytes)
             geom = binning.choose_geometry(
@@ -482,7 +482,36 @@ class PlannedNufft:
             _planned_prep, plan=self.plan, geom=geom, level=self._level,
             points_range=spec.points_range))(points)
         self._set_artifacts(arts)
+        self._ensure_viable(points)
         self._adjoint = None
+
+    def _ensure_viable(self, points) -> None:
+        """Re-plans rank-3 binned geometries whose band degenerated at
+        plan time (clustered z distributions): a coarse-axis-0 banded
+        geometry only fits VMEM *through* the band, so without one the
+        kernel launch would raise. Falls back to the unbanded-prefs
+        geometry, or to the unplanned pipeline if nothing fits."""
+        if self._level != "binned" or self.plan.rank != 3:
+            return
+        from tensorflow_nufft_tpu.kernels import binning
+        from tensorflow_nufft_tpu.kernels import pallas_spread as _ps
+        band = self.band_info[0] if self.band_info else None
+        if _ps.streaming_group_size(self.geom, band):
+            return
+        geom = binning.choose_geometry(
+            self.plan.fine_shape, self.plan.width,
+            int(points.shape[0]))
+        if (not binning.geometry_valid(geom)
+                or _ps.streaming_group_size(geom) == 0):
+            self._level = "none"
+            self._planned = False
+            return
+        self.geom = geom
+        arts = jax.jit(_functools.partial(
+            _planned_prep, plan=self.plan, geom=geom,
+            level=self._level,
+            points_range=self.spec.points_range))(points)
+        self._set_artifacts(arts)
 
     def _set_artifacts(self, arts):
         """Installs one shard's (points_resc, binned, aux) prep outputs
@@ -542,6 +571,9 @@ class PlannedNufft:
             sh._adjoint = None
             sh._set_artifacts(
                 jax.tree.map(lambda x, i=i: x[i], arts_stack))
+            # A shard's band can degenerate independently of shard 0's
+            # (per-shard z distributions); re-plan that shard alone.
+            sh._ensure_viable(points_stack[i])
             shards.append(sh)
         # Shard 0's artifacts came from its own (already executed)
         # single-shard prep; re-install from the stack so all shards
@@ -947,8 +979,7 @@ class Type3Plan:
                 and _ps.supports(self._spread_plan)):
             geom = binning.choose_geometry(
                 self.fine_shape, self._spread_plan.width, self.num_points)
-            if (binning.geometry_valid(geom)
-                    and binning.ranking_is_exact(geom)):
+            if binning.geometry_valid(geom):
                 from tensorflow_nufft_tpu.kernels.pallas_spread import (
                     MATS_BYTES_BUDGET, mats_payload_bytes)
                 self.geom = geom

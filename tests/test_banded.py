@@ -183,6 +183,35 @@ def test_zorder_binning_roundtrip(force_binned):
     assert np.all(zo >= 0) and np.all(zo + band <= geom.ext[0])
 
 
+def test_banded_degeneration_replans(force_binned):
+    """Sparse uniform points make every sub-chunk span its tile's full
+    axis-0 range, so the band degenerates to E0. A coarse banded
+    geometry only fits VMEM through the band — the plan must re-plan on
+    the unbanded-prefs geometry (or fall back to unplanned), never
+    defer a ValueError to apply time."""
+    from tensorflow_nufft_tpu.kernels import binning, pallas_spread
+    rng = np.random.default_rng(3)
+    m, grid = 2000, (128, 128, 128)
+    pts = rng.uniform(-np.pi, np.pi, (m, 3)).astype(np.float32)
+    opts = Options(backend="pallas")
+
+    op = planar.PlannedNufft(pts, grid, transform_type="type_1",
+                             options=opts)
+    assert op._planned
+    band = op.band_info[0] if op.band_info else None
+    assert pallas_spread.streaming_group_size(op.geom, band) > 0
+
+    # With the coarse tile forced, no viable fallback exists: the plan
+    # must drop to the unplanned pipeline instead of raising later.
+    binning.set_geometry_overrides(tile=(128, 16, 64))
+    try:
+        op2 = planar.PlannedNufft(pts, grid, transform_type="type_1",
+                                  options=opts)
+        assert not op2._planned
+    finally:
+        binning.set_geometry_overrides()
+
+
 def test_batch_build_matches_serial(force_binned):
     """PlannedNufft.batch_build (one vmapped prep for all shards — the
     ShardedPlannedNufft constructor path) produces bitwise-identical

@@ -176,13 +176,65 @@ def test_forced_pallas_rejects_f64():
                           options=tfft.Options(backend="pallas"))
 
 
-def test_binning_exactness_guard():
-    """Slot indices >= 2**24 must raise (f32 ranking exactness bound)."""
+def test_bigm_ranking_matches_prefix_forms():
+    """The sort-based int32 ranking (_ranks_and_starts_bigm, the
+    >= 2**24-slot path) produces exactly the padpos/counts/chunk_starts
+    of the f32 prefix-sum forms, with and without the z-order cell key."""
+    from tensorflow_nufft_tpu.kernels import binning
+    rng = np.random.default_rng(5)
+    num_tiles, zcells, chunk, m = 24, 4, 64, 5000
+    tid = jnp.asarray(rng.integers(0, num_tiles, m), jnp.int32)
+    zc = jnp.asarray(rng.integers(0, zcells, m), jnp.int32)
+
+    r, c, cb, cs = binning._ranks_and_starts(tid, num_tiles, chunk)
+    pp, c2, cs2 = binning._ranks_and_starts_bigm(tid, num_tiles, chunk)
+    np.testing.assert_array_equal(np.asarray(cb + r), np.asarray(pp))
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(cs), np.asarray(cs2))
+
+    r, c, cb, cs = binning._ranks_and_starts_celled(
+        tid, zc, num_tiles, zcells, chunk)
+    pp, c2, cs2 = binning._ranks_and_starts_bigm(
+        tid, num_tiles, chunk, zc=zc, zcells=zcells)
+    np.testing.assert_array_equal(np.asarray(cb + r), np.asarray(pp))
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(cs), np.asarray(cs2))
+
+
+def test_bigm_binning_oracle_past_f32_ceiling():
+    """bin_points on a >= 2**24-slot geometry (the regime the f32 forms
+    cannot serve) matches an int64 numpy oracle ranking."""
     from tensorflow_nufft_tpu.kernels import binning
     geom = binning.choose_geometry((256, 256), 7, 40_000_000)
     assert not binning.ranking_is_exact(geom)
-    with pytest.raises(ValueError, match="2\\*\\*24"):
-        binning.bin_points(jnp.zeros((40_000_000, 2), jnp.float32), geom)
+    rng = np.random.default_rng(9)
+    m = 100_000
+    pts = rng.uniform(0, 512, (m, 2)).astype(np.float32)
+    binned = binning.bin_points(jnp.asarray(pts), geom)
+    padpos = np.asarray(binned.padpos)
+
+    # int64 oracle: stable grouping by tile, chunk rounds per tile.
+    tiles = geom.tiles
+    tidx = np.clip((pts // np.array(geom.tile)).astype(np.int64),
+                   0, np.array(tiles) - 1)
+    tid = tidx[:, 0] * tiles[1] + tidx[:, 1]
+    counts = np.bincount(tid, minlength=geom.num_tiles)
+    rounds = np.maximum(-(-counts // geom.chunk), 1)
+    chunk_starts = np.cumsum(rounds) - rounds
+    order = np.argsort(tid, kind="stable")
+    rank = np.empty(m, np.int64)
+    pos = 0
+    prev = -1
+    for p in order:
+        if tid[p] != prev:
+            prev, pos = tid[p], 0
+        rank[p] = pos
+        pos += 1
+    oracle = chunk_starts[tid] * geom.chunk + rank
+    np.testing.assert_array_equal(padpos, oracle)
+    # Inverse map consistency.
+    inv = np.asarray(binned.invpos)
+    np.testing.assert_array_equal(inv[padpos], np.arange(m))
 
 
 class TestPlannedNufft:
