@@ -176,8 +176,12 @@ def choose_geometry(fine_shape: Sequence[int], width: int,
         # (pallas_spread.accumulate_spread_subchunk), so the kernel
         # stack no longer ties chunk size to E0*E1. 1024 keeps the
         # NBUF payload buffers plus the staging ref within the
-        # streaming VMEM budget.
-        chunk = min(chunk, 1024)
+        # streaming VMEM budget. Banded plans prefer 512: the v5e
+        # sweep (128^3/800k, tile (128,16,64)) measured 14.4 ms vs
+        # 15.4 at 1024 — less chunk padding (smaller values-payload
+        # gather) and tighter per-sub-chunk bands outweigh the extra
+        # per-chunk overhead.
+        chunk = min(chunk, 512 if banded else 1024)
     chunk = min(chunk, max(64, int(np.ceil(num_points / 64)) * 64))
     if rank == 3:
         # Sub-chunk fold: chunk must be a multiple of the 128-lane
