@@ -40,8 +40,8 @@ def marginal(stage_fn, label, x):
         @jax.jit
         def f(v):
             def body(i, acc):
-                out = stage_fn(v * (1.0 + 1e-3 * jnp.sin(
-                    i.astype(jnp.float32))))
+                out = stage_fn(v + 1e-3 * jnp.sin(
+                    v * i.astype(jnp.float32)))
                 out = jax.lax.optimization_barrier(out)
                 return acc + out.ravel()[0]
             return jax.lax.fori_loop(0, k, body, 0.0)
