@@ -140,6 +140,26 @@ def dft_truncate_deconvolve_tiled(tiles: jax.Array, plan, geom,
     Returns:
         [batch, *grid_shape, 2] planar modes (CMCL).
     """
+    if plan.rank == 3 and tiles.dtype == jnp.float32:
+        # Rank-3 pair contractions run ~5x off roofline in XLA (the
+        # (nt_d, E_d) relayout of the tile array moves at ~60 GB/s on
+        # v5e regardless of contraction order); the Pallas pass chain
+        # streams the native layout instead (kernels/pallas_dft.py).
+        from tensorflow_nufft_tpu.kernels import pallas_dft
+        if pallas_dft.supported(geom, plan.grid_shape):
+            return pallas_dft.dft_truncate_deconvolve_tiled_pallas(
+                tiles, plan, geom, batch)
+    return dft_truncate_deconvolve_tiled_xla(tiles, plan, geom, batch,
+                                             precision)
+
+
+def dft_truncate_deconvolve_tiled_xla(tiles: jax.Array, plan, geom,
+                                      batch: int,
+                                      precision=jax.lax.Precision.HIGHEST
+                                      ) -> jax.Array:
+    """XLA pair-contraction formulation (all ranks; the rank-3 oracle
+    for kernels/pallas_dft.py and the fallback for geometries the
+    Pallas passes do not serve)."""
     rank = plan.rank
     sign = -1.0 if plan.spec.fft_direction == "forward" else 1.0
     xs = tiles.reshape(geom.tiles + (batch, 2) + geom.ext)
@@ -221,6 +241,23 @@ def amplify_pad_dft_tiled(modes: jax.Array, plan, geom,
     Returns:
         [*tiles, B2, *ext] float blocks ready for the interp kernel.
     """
+    if plan.rank == 3 and modes.dtype == jnp.float32:
+        # Same rationale as dft_truncate_deconvolve_tiled: the rank-3
+        # expansion chain is relayout-bound in XLA; the Pallas dual
+        # passes write the tiles-major output directly.
+        from tensorflow_nufft_tpu.kernels import pallas_dft
+        if pallas_dft.supported(geom, plan.grid_shape):
+            return pallas_dft.amplify_pad_dft_tiled_pallas(
+                modes, plan, geom)
+    return amplify_pad_dft_tiled_xla(modes, plan, geom, precision)
+
+
+def amplify_pad_dft_tiled_xla(modes: jax.Array, plan, geom,
+                              precision=jax.lax.Precision.HIGHEST
+                              ) -> jax.Array:
+    """XLA expansion-chain formulation (all ranks; the rank-3 oracle
+    for kernels/pallas_dft.py and the fallback for geometries the
+    Pallas passes do not serve)."""
     rank = plan.rank
     sign = -1.0 if plan.spec.fft_direction == "forward" else 1.0
     batch = modes.shape[0]
