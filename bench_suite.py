@@ -54,20 +54,38 @@ def attach_peak(result, base):
 
 
 def marginal_time(make_fn, args, k2=9):
-    """Marginal per-iteration time between K=1 and K=k2 chained runs."""
+    """Marginal per-iteration time between K-chained runs.
+
+    Jitter guard: relay dispatch+readback noise is several to tens of
+    ms (BENCH_NOTES "round 3 — timing reconciliation"; an un-guarded
+    k2=9 once recorded 11.9e9 pts/s for the 65k case). If the first
+    (k2-1)-iteration delta spans < 50 ms of device time, re-measure
+    with a K pair scaled to span ~100 ms, where the noise contributes
+    < ~10%.
+    """
     import jax
-    f1, f2 = jax.jit(make_fn(1)), jax.jit(make_fn(k2))
-    np.asarray(f1(*args))
-    np.asarray(f2(*args))
-    b1 = b2 = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
+
+    def measure(k_lo, k_hi, repeats=3):
+        f1, f2 = jax.jit(make_fn(k_lo)), jax.jit(make_fn(k_hi))
         np.asarray(f1(*args))
-        b1 = min(b1, time.perf_counter() - t0)
-        t0 = time.perf_counter()
         np.asarray(f2(*args))
-        b2 = min(b2, time.perf_counter() - t0)
-    return max((b2 - b1) / (k2 - 1), 1e-9)
+        b1 = b2 = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            np.asarray(f1(*args))
+            b1 = min(b1, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            np.asarray(f2(*args))
+            b2 = min(b2, time.perf_counter() - t0)
+        return max((b2 - b1) / (k_hi - k_lo), 1e-9), b2 - b1
+
+    per, delta = measure(1, k2)
+    if delta < 0.05:
+        scale = int(np.ceil(0.1 / max(per * (k2 - 1), 1e-4)))
+        k_lo = max(2, (k2 - 1) // 2)
+        k_hi = min(k_lo + (k2 - 1) * scale, 1024)
+        per, _ = measure(k_lo, k_hi, repeats=4)
+    return per
 
 
 def nufft_case(name, grid_shape, num_points, transform_type,

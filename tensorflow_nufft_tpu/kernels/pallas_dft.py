@@ -419,6 +419,20 @@ def dft_truncate_deconvolve_tiled_pallas(
         interpret=interp,
     )(x, *wa_j)
 
+    return _run_passes_bc(y, plan, geom, batch)
+
+
+def _run_passes_bc(y: jax.Array, plan, geom: TileGeometry,
+                   batch: int) -> jax.Array:
+    """Passes B and C on a pass-A output [nt0, nt1, B2, E0, E1, n2]."""
+    nt, e = geom.tiles, geom.ext
+    n0, n1, n2 = plan.grid_shape
+    b2 = 2 * batch
+    _, wb, wc, gs, ng = _twiddle_statics(
+        plan.spec, geom, tuple(plan.grid_shape))
+    _, blk_b, blk1 = _block_plan(geom, tuple(plan.grid_shape))
+    interp = use_interpret()
+
     # Pass B: contract (nt1, E1) -> n1 with K-merged staging.
     wb_j = [jnp.asarray(m) for m in wb]
     y = pl.pallas_call(
@@ -465,3 +479,37 @@ def dft_truncate_deconvolve_tiled_pallas(
         interpret=interp,
     )(y, *wc_j)
     return jnp.stack([yr, yi], axis=-1)
+
+
+def spread_dft_fused(strengths_cm, points_resc, plan,
+                     geom: TileGeometry, batch: int, *, binned,
+                     mats=None, coords=None, band_info=None,
+                     values_slots=None) -> jax.Array:
+    """Planned rank-3 type-1 spread + mode-DFT with the axis-2 DFT
+    pass fused into the banded spread kernel's epilogue (the full
+    extended tile array never round-trips HBM — 2 x 241 MB at 3D
+    128^3/800k). Falls back to spread + the staged DFT whenever the
+    fusion's gates do not hold (no band, mats-level plan, unsupported
+    geometry, VMEM)."""
+    from tensorflow_nufft_tpu.fft.planar_fft import (
+        dft_truncate_deconvolve_tiled)
+    from tensorflow_nufft_tpu.kernels.pallas_spread import (
+        fused_dfta_fits, spread_pallas_tiles)
+    band_ok = (band_info is not None and geom.rank == 3
+               and mats is None and band_info[0] < geom.ext[0])
+    if (band_ok and supported(geom, plan.grid_shape)
+            and fused_dfta_fits(geom, 2, plan.grid_shape[2],
+                                band_info[0])):
+        wa, _, _, _, _ = _twiddle_statics(
+            plan.spec, geom, tuple(plan.grid_shape))
+        y, _ = spread_pallas_tiles(
+            strengths_cm, points_resc, plan, binned=binned,
+            coords=coords, geom=geom, band_info=band_info,
+            values_slots=values_slots,
+            dft_a=wa + (plan.grid_shape[2],))
+        return _run_passes_bc(y, plan, geom, batch)
+    tiles, _ = spread_pallas_tiles(
+        strengths_cm, points_resc, plan, binned=binned, mats=mats,
+        coords=coords, geom=geom, band_info=band_info,
+        values_slots=values_slots)
+    return dft_truncate_deconvolve_tiled(tiles, plan, geom, batch)

@@ -763,6 +763,118 @@ def _spread_kernel_split_banded(bounds_ref, zorig_ref, coords_hbm,
     jax.lax.fori_loop(start, end, body, 0)
 
 
+def _spread_kernel_split_banded_dfta(bounds_ref, zorig_ref, coords_hbm,
+                                     values_hbm, cw_ref, smcw_ref,
+                                     spcw_ref, out_ref, c_scratch,
+                                     v_scratch, sems, mref, tile_scr,
+                                     *, geom: TileGeometry, beta, c,
+                                     half_width, batch2, band, n2,
+                                     horner=None):
+    """_spread_kernel_split_banded with the axis-2 mode-DFT pass fused
+    as an epilogue: the accumulated tile block is contracted with the
+    wrap-aware [nt2, E2, n2] twiddles (kernels/pallas_dft.py pass A)
+    and accumulated into a [*tiles2, B2, E0, E1, n2] output revisited
+    across the innermost (t2) grid dim — the full extended tile array
+    never round-trips HBM (241 MB write + read at 3D 128^3/800k)."""
+    t = _linear_tile_id(geom)
+    start = bounds_ref[t]
+    end = bounds_ref[t + 1]
+    origins = _tile_origins(geom)
+    e0, e1, e2 = geom.ext
+
+    tile_scr[...] = jnp.zeros_like(tile_scr)
+
+    def chunk_dmas(slot, k):
+        return (
+            pltpu.make_async_copy(coords_hbm.at[k], c_scratch.at[slot],
+                                  sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                values_hbm.at[:, pl.ds(jnp.minimum(
+                    k, geom.num_chunks - 1) * geom.chunk, geom.chunk)],
+                v_scratch.at[slot], sems.at[slot, 1]),
+        )
+
+    for j in range(NBUF - 1):
+        @pl.when(start + j < end)
+        def _(j=j):
+            for dma in chunk_dmas(j, start + j):
+                dma.start()
+
+    def body(k, _):
+        d = k - start
+        slot = jax.lax.rem(d, jnp.asarray(NBUF, d.dtype))
+
+        @pl.when(k + NBUF - 1 < end)
+        def _():
+            nslot = jax.lax.rem(d + NBUF - 1, jnp.asarray(NBUF, d.dtype))
+            for dma in chunk_dmas(nslot, k + NBUF - 1):
+                dma.start()
+
+        for dma in chunk_dmas(slot, k):
+            dma.wait()
+        accumulate_spread_banded(
+            tile_scr, zorig_ref, k, c_scratch, v_scratch, slot, mref,
+            origins, geom, batch2, band, beta, c, half_width,
+            rank_offset=0, horner=horner)
+        return 0
+
+    jax.lax.fori_loop(start, end, body, 0)
+
+    # Epilogue: contract E2 -> n2 with this tile's twiddle slice and
+    # accumulate over the t2 grid dim (Gauss 3-mult complex rotation;
+    # see pallas_dft._pass_a_kernel).
+    t2 = pl.program_id(2)
+    cw = cw_ref[t2]
+    smcw = smcw_ref[t2]
+    spcw = spcw_ref[t2]
+    dn = (((1,), (0,)), ((), ()))
+    for b in range(batch2 // 2):
+        xr = tile_scr[0, 0, 0, 2 * b].reshape(e0 * e1, e2)
+        xi = tile_scr[0, 0, 0, 2 * b + 1].reshape(e0 * e1, e2)
+
+        def dot(a, m):
+            return jax.lax.dot_general(
+                a, m, dn, preferred_element_type=jnp.float32,
+                precision=_MXU_PRECISION)
+
+        t1_ = dot(xr + xi, cw)
+        t2_ = dot(xr, smcw)
+        t3_ = dot(xi, spcw)
+        yr = (t1_ - t3_).reshape(e0, e1, n2)
+        yi = (t1_ + t2_).reshape(e0, e1, n2)
+
+        @pl.when(t2 == 0)
+        def _(b=b, yr=yr, yi=yi):
+            out_ref[0, 0, 2 * b] = yr
+            out_ref[0, 0, 2 * b + 1] = yi
+
+        @pl.when(t2 != 0)
+        def _(b=b, yr=yr, yi=yi):
+            out_ref[0, 0, 2 * b] += yr
+            out_ref[0, 0, 2 * b + 1] += yi
+
+
+def fused_dfta_fits(geom: TileGeometry, batch2: int, n2: int,
+                    band: int) -> bool:
+    """Whether the banded spread kernel can carry the fused axis-2 DFT
+    epilogue for this channel count: the tile block moves to scratch
+    and a [batch2, E0, E1, n2] accumulator block joins it in VMEM."""
+    if geom.rank != 3 or batch2 % 2:
+        return False
+    lanes = -(-n2 // 128) * 128
+    e_lanes = -(-geom.ext[2] // 128) * 128
+    tile_scr = 4 * batch2 * geom.ext[0] * geom.ext[1] * e_lanes
+    out_blk = 4 * batch2 * geom.ext[0] * geom.ext[1] * lanes
+    w = 3 * 4 * geom.tiles[2] * geom.ext[2] * lanes
+    payload = 4 * NBUF * (8 + 8) * geom.chunk
+    stage = 4 * sum(geom.ext[1:]) * geom.chunk
+    # Epilogue dot temporaries: [E0*E1, n2] pairs per channel stack.
+    epi = 4 * batch2 * geom.ext[0] * geom.ext[1] * lanes
+    stack = max(_stack_bytes_streaming(geom, batch2, band=band), epi)
+    return (tile_scr + 2 * out_blk + w + payload + stage
+            + stack) <= VMEM_RESIDENT_BUDGET
+
+
 def _spread_kernel_resident_split(*refs, geom: TileGeometry, beta, c,
                                   half_width, batch2, horner=None):
     """_spread_kernel_resident with split coords/values payloads (two
@@ -944,7 +1056,7 @@ def _spread_kernel_mats(*refs, geom: TileGeometry, batch2):
 def spread_pallas_tiles(strengths_cm: jax.Array, points_resc,
                         plan: NufftPlan, binned=None, mats=None,
                         coords=None, values_slots=None, geom=None,
-                        out_vma=None, band_info=None):
+                        out_vma=None, band_info=None, dft_a=None):
     """[B2, M] channel-major real strengths + rescaled points (or
     (hi, lo) pair) -> ([*tiles, B2, *ext] extended tile blocks, geom).
 
@@ -963,6 +1075,12 @@ def spread_pallas_tiles(strengths_cm: jax.Array, points_resc,
     ``band_info`` = (band, zorigins) from binning.compute_band_origins
     (rank 3, planned, z-ordered binning): routes to the axis-0-banded
     kernels, which cut the MXU-bound fold by ~E0/band.
+
+    ``dft_a`` = (c, s-c, s+c, n2) axis-2 mode-DFT twiddles (each
+    [nt2, E2, n2] float32; see pallas_dft._twiddle_statics): fuses the
+    DFT's axis-2 pass into the banded kernel epilogue and returns
+    [nt0, nt1, B2, E0, E1, n2] instead of tile blocks. Callers must
+    gate on ``fused_dfta_fits`` and an active band.
     """
     m = num_points_of(points_resc)
     batch2 = (strengths_cm if values_slots is None
@@ -980,6 +1098,9 @@ def spread_pallas_tiles(strengths_cm: jax.Array, points_resc,
             rank != 3 or mats is not None
             or band_info[0] >= geom.ext[0]):
         band_info = None          # degenerate band: unbanded kernels
+    if dft_a is not None and band_info is None:
+        raise ValueError("dft_a fusion requires an active band "
+                         "(rank-3 planned, non-degenerate)")
     group = streaming_group_size(
         geom, band_info[0] if band_info else None)
     if mats is not None:
@@ -998,13 +1119,26 @@ def spread_pallas_tiles(strengths_cm: jax.Array, points_resc,
             f"Pallas spread: no channel group fits the VMEM budget for "
             f"geometry tile={geom.tile} ext={geom.ext} "
             f"chunk={geom.chunk}; use backend='xla'.")
+    if dft_a is not None:
+        # The fused epilogue adds the [g, E0, E1, n2] accumulator block
+        # to the kernel's VMEM footprint; shrink the channel group
+        # until it fits (callers pre-gate with fused_dfta_fits at g=2).
+        while group >= 2 and not fused_dfta_fits(
+                geom, min(group, batch2), dft_a[3], band_info[0]):
+            group -= 2
+        if group < 2:
+            raise ValueError("dft_a fusion does not fit the VMEM "
+                             "budget; call without dft_a")
     # Combined single-DMA payload whenever every group fits one
     # 8-sublane block (any single complex transform, ranks 1-3); wider
     # channel groups keep the split layout, whose static coords payload
     # is shared across groups. Slot-order values arrive pre-permuted,
     # so there is no point-order source to build a combined payload
     # from — they always ride the split/mats kernels.
-    combined = (mats is None and values_slots is None
+    # dft_a rides the split banded kernel only (the combined-payload
+    # banded kernel has no fused epilogue; coords are prebuilt on the
+    # planned path anyway, so split costs one extra per-chunk DMA).
+    combined = (mats is None and values_slots is None and dft_a is None
                 and combined_fits(rank, min(batch2, group)))
     coords_pl = coords
     if mats is None and not combined and coords_pl is None:
@@ -1018,18 +1152,23 @@ def spread_pallas_tiles(strengths_cm: jax.Array, points_resc,
                 else strengths_cm[i:i + group],
                 binned, coords_pl, geom, plan, mats, combined,
                 None if values_slots is None
-                else values_slots[i:i + group], out_vma, band_info)
+                else values_slots[i:i + group], out_vma, band_info,
+                dft_a)
             groups.append(g_tiles)
-        return jnp.concatenate(groups, axis=rank), geom
+        # Fused output carries channels at axis 2 ([nt0, nt1, B2, ...]);
+        # tile blocks at axis `rank`.
+        cat_axis = 2 if dft_a is not None else rank
+        return jnp.concatenate(groups, axis=cat_axis), geom
     tiles, _ = _spread_group(strengths_cm, binned, coords_pl, geom,
                              plan, mats, combined, values_slots,
-                             out_vma, band_info)
+                             out_vma, band_info, dft_a)
     return tiles, geom
 
 
 def _spread_group(strengths_cm, binned, coords_pl, geom: TileGeometry,
                   plan: NufftPlan, mats=None, combined=False,
-                  values_slots=None, out_vma=None, band_info=None):
+                  values_slots=None, out_vma=None, band_info=None,
+                  dft_a=None):
     batch2 = (strengths_cm if values_slots is None
               else values_slots).shape[0]
     rank = geom.rank
@@ -1170,6 +1309,43 @@ def _spread_group(strengths_cm, binned, coords_pl, geom: TileGeometry,
         pltpu.VMEM((NBUF, values_pl.shape[0], geom.chunk), jnp.float32),
         pltpu.SemaphoreType.DMA((NBUF, 2)),
     ]
+
+    if band_info is not None and dft_a is not None:
+        band, zorigins = band_info
+        cw, smcw, spcw, n2 = dft_a
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,           # bounds + band origins
+            grid=geom.tiles,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(
+                (1, 1, batch2, geom.ext[0], geom.ext[1], n2),
+                # *ids absorbs the scalar-prefetch refs appended to
+                # index_map calls; the t2 grid id (ids[2]) is dropped —
+                # the block is revisited and accumulated across t2.
+                lambda *ids: (ids[0], ids[1], 0, 0, 0, 0),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=payload_scratch + [
+                pltpu.VMEM((sum(geom.ext[1:]), geom.chunk),
+                           jnp.float32),
+                pltpu.VMEM((1, 1, 1, batch2) + geom.ext,
+                           jnp.float32)],
+        )
+        fused = pl.pallas_call(
+            functools.partial(_spread_kernel_split_banded_dfta,
+                              band=band, n2=n2, **common),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (geom.tiles[0], geom.tiles[1], batch2,
+                 geom.ext[0], geom.ext[1], n2), jnp.float32,
+                vma=out_vma),
+            interpret=use_interpret(),
+        )(binned.tile_bounds, zorigins, coords_pl, values_pl,
+          jnp.asarray(cw), jnp.asarray(smcw), jnp.asarray(spcw))
+        return fused, geom
 
     if band_info is not None:
         band, zorigins = band_info

@@ -605,22 +605,20 @@ class PlannedNufft:
 
     def _apply(self, source):
         from tensorflow_nufft_tpu.fft.planar_fft import (
-            amplify_pad_dft_tiled, dft_truncate_deconvolve_tiled)
+            amplify_pad_dft_tiled)
+        from tensorflow_nufft_tpu.kernels.pallas_dft import (
+            spread_dft_fused)
         from tensorflow_nufft_tpu.kernels.pallas_interp import (
             interp_pallas_tiled)
-        from tensorflow_nufft_tpu.kernels.pallas_spread import (
-            spread_pallas_tiles)
         batch = source.shape[0]
         m = self.points.shape[0]
         if self.transform_type == "type_1":
             # Channel-major fold: [B, M, 2] -> [2B, M] (row order (b, ch)).
             src_cm = jnp.moveaxis(source, -1, 1).reshape(2 * batch, m)
-            tiles, _ = spread_pallas_tiles(
+            out = spread_dft_fused(
                 src_cm.astype(jnp.float32), self.points_resc, self.plan,
-                binned=self.binned, mats=self.mats, coords=self.coords,
-                geom=self.geom, band_info=self.band_info)
-            out = dft_truncate_deconvolve_tiled(
-                tiles, self.plan, self.geom, batch)
+                self.geom, batch, binned=self.binned, mats=self.mats,
+                coords=self.coords, band_info=self.band_info)
             return out.astype(source.dtype)
         tiles = amplify_pad_dft_tiled(source, self.plan, self.geom)
         values = interp_pallas_tiled(
@@ -678,11 +676,11 @@ class PlannedNufft:
 
     def _apply_normal(self, source, slot_w=None):
         from tensorflow_nufft_tpu.fft.planar_fft import (
-            amplify_pad_dft_tiled, dft_truncate_deconvolve_tiled)
+            amplify_pad_dft_tiled)
+        from tensorflow_nufft_tpu.kernels.pallas_dft import (
+            spread_dft_fused)
         from tensorflow_nufft_tpu.kernels.pallas_interp import (
             interp_pallas_tiled)
-        from tensorflow_nufft_tpu.kernels.pallas_spread import (
-            spread_pallas_tiles)
         t2 = self if self.transform_type == "type_2" else self.adjoint()
         t1 = t2.adjoint()
         batch = source.shape[0]
@@ -694,12 +692,10 @@ class PlannedNufft:
             band_info=t2.band_info)                 # [B2, NC*chunk]
         if slot_w is not None:
             flat = flat * jax.lax.stop_gradient(slot_w)[None, :]
-        tiles1, _ = spread_pallas_tiles(
-            None, t2.points_resc, t1.plan, binned=t2.binned,
-            mats=t2.mats, coords=t2.coords, values_slots=flat,
-            geom=t2.geom, band_info=t2.band_info)
-        out = dft_truncate_deconvolve_tiled(tiles1, t1.plan, t2.geom,
-                                            batch)
+        out = spread_dft_fused(
+            None, t2.points_resc, t1.plan, t2.geom, batch,
+            binned=t2.binned, mats=t2.mats, coords=t2.coords,
+            values_slots=flat, band_info=t2.band_info)
         return out.astype(source.dtype)
 
     def __call__(self, source):

@@ -93,3 +93,32 @@ def test_unsupported_geometry_falls_back():
     out = jax.jit(
         lambda t: dft_truncate_deconvolve_tiled(t, plan, geom, 1))(tiles)
     assert out.shape == (1,) + plan.grid_shape + (2,)
+
+
+def test_spread_dft_fused_matches_staged(monkeypatch):
+    """The fused axis-2 epilogue must reproduce spread + staged DFT."""
+    from tensorflow_nufft_tpu import planar
+    from tensorflow_nufft_tpu.fft.planar_fft import (
+        dft_truncate_deconvolve_tiled)
+    from tensorflow_nufft_tpu.kernels import pallas_spread
+    from tensorflow_nufft_tpu.kernels.pallas_dft import spread_dft_fused
+    from tensorflow_nufft_tpu.options import Options
+    monkeypatch.setattr(pallas_spread, "MATS_BYTES_BUDGET", 0)
+    rng = np.random.default_rng(5)
+    grid, m, batch = (24, 16, 16), 3000, 2
+    pts = rng.uniform(-np.pi, np.pi, (m, 3)).astype(np.float32)
+    op = planar.PlannedNufft(pts, grid, transform_type="type_1",
+                             tol=1e-6, options=Options(backend="pallas"))
+    assert op._level == "binned" and op.band_info is not None
+    src_cm = jnp.asarray(
+        rng.standard_normal((2 * batch, m)).astype(np.float32))
+    fused = jax.jit(lambda s: spread_dft_fused(
+        s, op.points_resc, op.plan, op.geom, batch, binned=op.binned,
+        coords=op.coords, band_info=op.band_info))(src_cm)
+    tiles, _ = pallas_spread.spread_pallas_tiles(
+        src_cm, op.points_resc, op.plan, binned=op.binned,
+        coords=op.coords, geom=op.geom, band_info=op.band_info)
+    staged = jax.jit(lambda t: dft_truncate_deconvolve_tiled(
+        t, op.plan, op.geom, batch))(tiles)
+    err = np.max(np.abs(np.asarray(fused) - np.asarray(staged)))
+    assert err <= 1e-4 * np.max(np.abs(np.asarray(staged))), err
