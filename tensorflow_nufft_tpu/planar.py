@@ -351,6 +351,57 @@ def _planned_normal_bwd(planned, slot_w, cotangent):
 _planned_normal_call.defvjp(_planned_normal_fwd, _planned_normal_bwd)
 
 
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _planned_slots_call(source, planned):
+    return planned._apply_slots(source)
+
+
+def _planned_slots_fwd(source, planned):
+    return _planned_slots_call(source, planned), None
+
+
+def _planned_slots_bwd(planned, _, cotangent):
+    # The slot-space operator is the point-space operator conjugated by
+    # the slot embedding (both directions mask to real slots), so its
+    # planar-real transpose is the adjoint plan's slot-space apply.
+    return (_planned_slots_call(cotangent, planned.adjoint()),)
+
+
+_planned_slots_call.defvjp(_planned_slots_fwd, _planned_slots_bwd)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _to_slots_call(values, planned):
+    return planned._to_slots(values)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _from_slots_call(slot_values, planned):
+    return planned._from_slots(slot_values)
+
+
+def _to_slots_fwd(values, planned):
+    return _to_slots_call(values, planned), None
+
+
+def _to_slots_bwd(planned, _, cotangent):
+    # to_slots is the slot embedding E (zeros in padded/unused slots);
+    # its real transpose is exactly the padpos gather back (E^T).
+    return (_from_slots_call(cotangent, planned),)
+
+
+def _from_slots_fwd(slot_values, planned):
+    return _from_slots_call(slot_values, planned), None
+
+
+def _from_slots_bwd(planned, _, cotangent):
+    return (_to_slots_call(cotangent, planned),)
+
+
+_to_slots_call.defvjp(_to_slots_fwd, _to_slots_bwd)
+_from_slots_call.defvjp(_from_slots_fwd, _from_slots_bwd)
+
+
 def _planned_fwd(source, planned):
     return _planned_call(source, planned), None
 
@@ -697,6 +748,167 @@ class PlannedNufft:
             binned=t2.binned, mats=t2.mats, coords=t2.coords,
             values_slots=flat, band_info=t2.band_info)
         return out.astype(source.dtype)
+
+    # -- chunk-slot-order apply surface -------------------------------
+    # The planned kernels' native point layout is the chunk-padded SLOT
+    # stream (binning.BinnedPoints); point-order applies pay one
+    # random-permutation gather per call to convert (half the 2D
+    # headline time — BENCH_NOTES "2D headline stage split"). Iterative
+    # pipelines that keep their per-point vectors in slot order skip
+    # that permutation every iteration: convert fixed data ONCE with
+    # ``to_slots`` (e.g. measured k-space), then loop on
+    # ``apply_to_slots``/``apply_from_slots``. FINUFFT/the reference
+    # have no analog (their sorted order is internal only;
+    # nufft_plan.cc sort + bin_points are never exposed).
+
+    @property
+    def num_slots(self) -> int:
+        """Length S of the slot axis ([B, S, 2] slot-order vectors)."""
+        if not self._planned:
+            return int(self.points.shape[0])
+        return int(self.geom.num_chunks * self.geom.chunk)
+
+    @property
+    def slot_mask(self) -> jax.Array:
+        """[S] float32; 1 where the slot holds a real point, 0 in
+        padded / unused slots. Use to restrict slot-space reductions
+        (norms, inner products) to real points."""
+        mask = getattr(self, "_slot_mask", None)
+        if mask is None:
+            if not self._planned:
+                mask = jnp.ones((self.num_slots,), jnp.float32)
+            else:
+                m = int(self.points.shape[0])
+                mask = (self.binned.invpos < m).astype(jnp.float32)
+            self._slot_mask = mask
+        return mask
+
+    def to_slots(self, values) -> jax.Array:
+        """Point-order planar values [B, M, 2] -> slot order [B, S, 2]
+        (zeros in padded/unused slots). One minor-axis gather; convert
+        loop-invariant data once, outside the iteration."""
+        values = jnp.asarray(values)
+        m = int(self.points.shape[0])
+        if not (values.ndim == 3 and values.shape[1] == m
+                and values.shape[-1] == 2):
+            raise ValueError(
+                f"to_slots expects [B, {m}, 2] planar values, got "
+                f"shape {values.shape}")
+        if not self._planned:
+            return values
+        return _to_slots_call(values, self)
+
+    def from_slots(self, slot_values) -> jax.Array:
+        """Slot-order planar values [B, S, 2] -> point order
+        [B, M, 2] (one gather; the inverse of ``to_slots``)."""
+        slot_values = jnp.asarray(slot_values)
+        s = self.num_slots
+        if not (slot_values.ndim == 3 and slot_values.shape[1] == s
+                and slot_values.shape[-1] == 2):
+            raise ValueError(
+                f"from_slots expects [B, {s}, 2] slot-order values, "
+                f"got shape {slot_values.shape}")
+        if not self._planned:
+            return slot_values
+        return _from_slots_call(slot_values, self)
+
+    def _to_slots(self, values):
+        from tensorflow_nufft_tpu.kernels import binning
+        b = values.shape[0]
+        vc = jnp.moveaxis(values, -1, 1).reshape(2 * b, -1)
+        flat = binning.build_values_payload(
+            vc, self.binned, self.geom)[:2 * b]
+        s = flat.shape[-1]
+        return jnp.moveaxis(flat.reshape(b, 2, s), 1,
+                            -1).astype(values.dtype)
+
+    def _from_slots(self, slot_values):
+        from tensorflow_nufft_tpu.kernels import binning
+        b = slot_values.shape[0]
+        vc = jnp.moveaxis(slot_values, -1, 1).reshape(2 * b, -1)
+        flat = binning.scatter_chunked(vc.astype(jnp.float32),
+                                       self.binned)
+        m = flat.shape[-1]
+        return jnp.moveaxis(flat.reshape(b, 2, m), 1,
+                            -1).astype(slot_values.dtype)
+
+    def apply_to_slots(self, source) -> jax.Array:
+        """Type-2 apply producing SLOT-ORDER values [B, S, 2] — skips
+        the per-call un-permute gather of ``__call__``. Equivalent to
+        ``plan.to_slots(plan(source))`` at one gather less; padded and
+        unused slots come out exactly zero. Differentiable w.r.t.
+        ``source``."""
+        if self.transform_type != "type_2":
+            raise ValueError(
+                "apply_to_slots is the type-2 (grid -> points) apply; "
+                "this plan is type_1 (use adjoint(), or "
+                "apply_from_slots)")
+        source = jnp.asarray(source)
+        expect = tuple(self.grid_shape)
+        if not (source.ndim == len(expect) + 2
+                and tuple(source.shape[1:-1]) == expect
+                and source.shape[-1] == 2):
+            raise ValueError(
+                f"apply_to_slots expects [B, "
+                f"{', '.join(str(g) for g in expect)}, 2], got shape "
+                f"{source.shape}")
+        if not self._planned:
+            return self(source)        # slot order == point order
+        return _planned_slots_call(source, self)
+
+    def apply_from_slots(self, slot_values) -> jax.Array:
+        """Type-1 apply consuming SLOT-ORDER values [B, S, 2] -> grid
+        [B, *grid, 2] — skips the per-call values-payload permutation
+        gather of ``__call__``. Padded/unused input slots are masked
+        out (only real-point slots contribute). Differentiable w.r.t.
+        ``slot_values``."""
+        if self.transform_type != "type_1":
+            raise ValueError(
+                "apply_from_slots is the type-1 (points -> grid) "
+                "apply; this plan is type_2 (use adjoint(), or "
+                "apply_to_slots)")
+        slot_values = jnp.asarray(slot_values)
+        s = self.num_slots
+        if not (slot_values.ndim == 3 and slot_values.shape[1] == s
+                and slot_values.shape[-1] == 2):
+            raise ValueError(
+                f"apply_from_slots expects [B, {s}, 2] slot-order "
+                f"values, got shape {slot_values.shape}")
+        if not self._planned:
+            return self(slot_values)   # slot order == point order
+        return _planned_slots_call(slot_values, self)
+
+    def _apply_slots(self, source):
+        from tensorflow_nufft_tpu.fft.planar_fft import (
+            amplify_pad_dft_tiled)
+        from tensorflow_nufft_tpu.kernels.pallas_dft import (
+            spread_dft_fused)
+        from tensorflow_nufft_tpu.kernels.pallas_interp import (
+            interp_pallas_tiled)
+        batch = source.shape[0]
+        # jnp.where (not a multiply): unused-tail slots of the interp
+        # chunk stream are uninitialized memory and may be NaN — 0*NaN
+        # would propagate where a select cannot.
+        keep = self.slot_mask > 0
+        if self.transform_type == "type_1":
+            s = source.shape[1]
+            src_cm = jnp.moveaxis(source, -1, 1).reshape(2 * batch, s)
+            src_cm = jnp.where(keep[None, :],
+                               src_cm.astype(jnp.float32), 0.0)
+            out = spread_dft_fused(
+                None, self.points_resc, self.plan, self.geom, batch,
+                binned=self.binned, mats=self.mats, coords=self.coords,
+                values_slots=src_cm, band_info=self.band_info)
+            return out.astype(source.dtype)
+        tiles = amplify_pad_dft_tiled(source, self.plan, self.geom)
+        flat = interp_pallas_tiled(
+            tiles, self.points_resc, self.plan, self.geom,
+            binned=self.binned, mats=self.mats, coords=self.coords,
+            chunk_order=True, band_info=self.band_info)
+        flat = jnp.where(keep[None, :], flat, 0.0)
+        s = flat.shape[-1]
+        return jnp.moveaxis(flat.reshape(batch, 2, s), 1,
+                            -1).astype(source.dtype)
 
     def __call__(self, source):
         """Applies the transform to planar ``source``.
