@@ -89,7 +89,8 @@ def marginal_time(make_fn, args, k2=9):
 
 
 def nufft_case(name, grid_shape, num_points, transform_type,
-               batch=None, shared_points=True, k2=9, points_arr=None):
+               batch=None, shared_points=True, k2=9, points_arr=None,
+               slots=False):
     import jax
     import jax.numpy as jnp
     import tensorflow_nufft_tpu as tfft
@@ -128,6 +129,14 @@ def nufft_case(name, grid_shape, num_points, transform_type,
         op = tfft.planar.PlannedNufft(
             pts, grid_shape, transform_type=transform_type)
         src_b = src if batch is not None else src[None]
+    if slots:
+        # Slot-order apply surface (VERDICT r3 item 6): the iterative-
+        # pipeline regime where per-point vectors stay in the plan's
+        # chunk-slot layout — skips the per-call point-order
+        # permutation gather. Loop-invariant conversion done once here.
+        assert op is not None and op._planned, name
+        if transform_type == "type_1":
+            src_b = op.to_slots(src_b)
 
     def make(k):
         def f(p):
@@ -136,7 +145,11 @@ def nufft_case(name, grid_shape, num_points, transform_type,
                 # and BENCH_NOTES "honest timing").
                 def perturb(x):
                     return x + 1e-3 * jnp.sin(x * i.astype(jnp.float32))
-                if op is not None:
+                if slots and transform_type == "type_1":
+                    out = op.apply_from_slots(perturb(src_b))
+                elif slots:
+                    out = op.apply_to_slots(perturb(src_b))
+                elif op is not None:
                     out = op(perturb(src_b))
                 else:
                     out = tfft.planar.nufft(
@@ -205,6 +218,99 @@ def type3_case(name="2d_t3_200k_200k", rank=2, m=200_000,
         "planned_spread": op._spread_level if planned else "none",
     }
     return attach_peak(result, mem_base)
+
+
+def census_3d_case(grid=128, m=800_000, tol=1e-6, seed=42):
+    """3D accuracy census on hardware (VERDICT r3 item 5): the banded +
+    Pallas-DFT planned type-1 path at 128^3/800k vs a float64 CPU NUFFT
+    at the same tol (err_impl, full mode census) and an exact f64 NUDFT
+    on a 4096-mode subset (err_total). Same contract as bench.py's 2D
+    gate: err_impl < tol, err_total < 10*tol. The f64 references are
+    computed in a forced-CPU x64 subprocess and cached in build/."""
+    import pathlib
+    import jax
+    import jax.numpy as jnp
+    import tensorflow_nufft_tpu as tfft
+    from tensorflow_nufft_tpu.planar import to_planar
+
+    ref_path = (pathlib.Path(__file__).parent / "build"
+                / f"census3d_{grid}_{m}_{seed}_{tol:g}.npz")
+    if not ref_path.exists():
+        log("computing 3D float64 CPU references in a subprocess ...")
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--make-census-ref", str(grid), str(m), str(tol),
+             str(seed)],
+            check=True, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+    data = np.load(ref_path)
+
+    rng = np.random.default_rng(seed)
+    gs = (grid,) * 3
+    pts = rng.uniform(-np.pi, np.pi, (m, 3)).astype(np.float32)
+    z = (rng.standard_normal(m)
+         + 1j * rng.standard_normal(m)).astype(np.complex64)
+    src = jnp.asarray(to_planar(z))[None]
+    op = tfft.planar.PlannedNufft(jnp.asarray(pts), gs,
+                                  transform_type="type_1", tol=tol)
+    out = np.asarray(op(src))[0]
+    got = out[..., 0] + 1j * out[..., 1]
+    scale = float(data["scale"])
+    err_impl = float(np.max(np.abs(got - data["cpu_ref"])) / scale)
+    idx = data["subset_idx"]
+    sub = got.reshape(-1)[idx]
+    err_total = float(np.max(np.abs(sub - data["subset_oracle"]))
+                      / scale)
+    log(f"3d census: err_impl={err_impl:.3e} (gate < {tol:g}), "
+        f"err_total={err_total:.3e} (gate < {10 * tol:g})")
+    return {
+        "metric": f"3d_census_{grid}_{m // 1000}k",
+        "value": err_impl,
+        "unit": "err_impl",
+        "err_total_subset": err_total,
+        "tol": tol,
+        "planned_level": op._level,
+        "banded": bool(getattr(op, "band_info", None) is not None),
+        "pass": bool(err_impl < tol and err_total < 10 * tol),
+    }
+
+
+def make_census_ref(grid, m, tol, seed):
+    """Forced-CPU x64 subprocess: f64 same-tol NUFFT (full census) +
+    exact NUDFT on a 4096-mode subset (chunked; the full 128^3 dense
+    oracle is infeasible)."""
+    import pathlib
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import tensorflow_nufft_tpu as tfft
+
+    rng = np.random.default_rng(seed)
+    gs = (grid,) * 3
+    pts = rng.uniform(-np.pi, np.pi, (m, 3)).astype(np.float64)
+    z = (rng.standard_normal(m)
+         + 1j * rng.standard_normal(m)).astype(np.complex128)
+    cpu_ref = np.asarray(tfft.nufft(z, pts, grid_shape=gs,
+                                    transform_type="type_1", tol=tol))
+    scale = float(np.abs(cpu_ref).max())
+
+    sub_rng = np.random.default_rng(seed + 1)
+    idx = np.sort(sub_rng.choice(grid ** 3, 4096, replace=False))
+    kk = np.stack(np.unravel_index(idx, gs), axis=-1) - grid // 2
+    oracle = np.empty(len(idx), np.complex128)
+    for lo in range(0, len(idx), 256):
+        k = kk[lo:lo + 256]
+        phase = pts @ k.T                     # [m, <=256]
+        oracle[lo:lo + k.shape[0]] = (
+            np.exp(-1j * phase) * z[:, None]).sum(axis=0)
+    ref_path = (pathlib.Path(__file__).parent / "build"
+                / f"census3d_{grid}_{m}_{seed}_{tol:g}.npz")
+    ref_path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(ref_path, cpu_ref=cpu_ref, scale=scale, subset_idx=idx,
+             subset_oracle=oracle)
+    log(f"wrote {ref_path}")
 
 
 def cg_sense_case(k2=5, toeplitz=False):
@@ -283,6 +389,28 @@ def _case_registry(quick: bool):
                               "type_2", batch=8, shared_points=True,
                               k2=9, points_arr=radial)
         reg["2d_t2_512_radial_b8"] = radial_case
+        # Slot-order apply rows (VERDICT r3 item 6): same transforms
+        # with per-point vectors kept in the plan's chunk-slot layout.
+        reg["2d_t1_256_65k_slots"] = (
+            lambda: nufft_case("2d_t1_256_65k_slots", (256, 256),
+                               65_536, "type_1", None, True, k2=9,
+                               slots=True))
+        reg["2d_t1_256_200k_slots"] = (
+            lambda: nufft_case("2d_t1_256_200k_slots", (256, 256),
+                               200_000, "type_1", None, True, k2=9,
+                               slots=True))
+        reg["3d_t1_128_800k_slots"] = (
+            lambda: nufft_case("3d_t1_128_800k_slots",
+                               (128, 128, 128), 800_000, "type_1",
+                               None, True, k2=5, slots=True))
+
+        def radial_slots_case():
+            from tensorflow_nufft_tpu.models import mri
+            radial = np.asarray(mri.radial_trajectory(512, 1024))
+            return nufft_case("2d_t2_512_radial_b8_slots", (512, 512),
+                              0, "type_2", batch=8, shared_points=True,
+                              k2=9, points_arr=radial, slots=True)
+        reg["2d_t2_512_radial_b8_slots"] = radial_slots_case
         reg["2d_t3_200k_200k"] = type3_case
         # 3D type-3 at MRI field-map scale (VERDICT r2 #8): planned vs
         # unplanned on the same 500k->500k problem. t_range 16 keeps
@@ -297,6 +425,7 @@ def _case_registry(quick: bool):
         reg["cg_sense"] = cg_sense_case
         reg["cg_sense_toeplitz"] = (
             lambda: cg_sense_case(toeplitz=True))
+        reg["3d_census_128_800k"] = census_3d_case
     return reg
 
 
@@ -333,7 +462,16 @@ def main():
     parser.add_argument("--inprocess", action="store_true",
                         help="run all cases in this process (no "
                              "isolation; old behavior)")
+    parser.add_argument("--make-census-ref", nargs=4, default=None,
+                        metavar=("GRID", "M", "TOL", "SEED"),
+                        help="internal: build the 3D census f64 "
+                             "references (forced-CPU subprocess)")
     args = parser.parse_args()
+
+    if args.make_census_ref is not None:
+        g, m, tol, seed = args.make_census_ref
+        make_census_ref(int(g), int(m), float(tol), int(seed))
+        return
 
     reg = _case_registry(args.quick)
 

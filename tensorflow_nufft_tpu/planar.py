@@ -577,6 +577,10 @@ class PlannedNufft:
         else:
             self.mats = None
             self.coords = jnp.asarray(aux)
+        # Eager (never inside a trace: a lazy first touch under jit
+        # would cache a tracer); [S] f32, trivial to build.
+        m = int(self.points.shape[0])
+        self._slot_mask = (self.binned.invpos < m).astype(jnp.float32)
         self.band_info = None
         if _planned_zorder(self._level, self.plan.rank):
             from tensorflow_nufft_tpu.kernels.pallas_spread import (
@@ -774,13 +778,9 @@ class PlannedNufft:
         padded / unused slots. Use to restrict slot-space reductions
         (norms, inner products) to real points."""
         mask = getattr(self, "_slot_mask", None)
-        if mask is None:
-            if not self._planned:
-                mask = jnp.ones((self.num_slots,), jnp.float32)
-            else:
-                m = int(self.points.shape[0])
-                mask = (self.binned.invpos < m).astype(jnp.float32)
-            self._slot_mask = mask
+        if mask is None:       # unplanned fallback: slots == points
+            # Not cached: under jit this would cache a tracer.
+            mask = jnp.ones((self.num_slots,), jnp.float32)
         return mask
 
     def to_slots(self, values) -> jax.Array:
