@@ -458,6 +458,57 @@ def _sharded_normal_bwd(op, slot_w, cotangent):
 _sharded_normal_call.defvjp(_sharded_normal_fwd, _sharded_normal_bwd)
 
 
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _sharded_slots_call(source, op):
+    return op._apply_slots(source)
+
+
+def _sharded_slots_fwd(source, op):
+    return _sharded_slots_call(source, op), None
+
+
+def _sharded_slots_bwd(op, _, cotangent):
+    # Slot-space operator = point-space operator conjugated by the slot
+    # embedding; planar-real transpose = the adjoint plan's slot apply
+    # (see planar._planned_slots_bwd).
+    return (_sharded_slots_call(cotangent, op.adjoint()),)
+
+
+_sharded_slots_call.defvjp(_sharded_slots_fwd, _sharded_slots_bwd)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _sharded_to_slots_call(values, op):
+    return op._to_slots(values)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _sharded_from_slots_call(slot_values, op):
+    return op._from_slots(slot_values)
+
+
+def _sharded_to_slots_fwd(values, op):
+    return _sharded_to_slots_call(values, op), None
+
+
+def _sharded_to_slots_bwd(op, _, cotangent):
+    return (_sharded_from_slots_call(cotangent, op),)
+
+
+def _sharded_from_slots_fwd(slot_values, op):
+    return _sharded_from_slots_call(slot_values, op), None
+
+
+def _sharded_from_slots_bwd(op, _, cotangent):
+    return (_sharded_to_slots_call(cotangent, op),)
+
+
+_sharded_to_slots_call.defvjp(_sharded_to_slots_fwd,
+                              _sharded_to_slots_bwd)
+_sharded_from_slots_call.defvjp(_sharded_from_slots_fwd,
+                                _sharded_from_slots_bwd)
+
+
 class ShardedPlannedNufft:
     """Planned planar NUFFT over a device mesh.
 
@@ -562,6 +613,9 @@ class ShardedPlannedNufft:
                     for arts, b in zip(per_shard, bands)]
         self._arts = jax.tree.map(
             lambda *xs: jnp.stack(xs), *per_shard)
+        # [s, S] per-shard slot masks (1 where the slot holds a real
+        # point) for the slot-order apply surface; eager, plan time.
+        self._masks = jnp.stack([sh.slot_mask for sh in self._shards])
 
     # -- plumbing -----------------------------------------------------
 
@@ -793,3 +847,201 @@ class ShardedPlannedNufft:
                            in_specs=in_specs, out_specs=src_spec,
                            check_vma=check)
         return fn(*args)
+
+    # -- chunk-slot-order apply surface -------------------------------
+    # Sharded dual of planar.PlannedNufft's slot surface: per-point
+    # vectors live in shard-major chunk-slot order ([B, s*S, 2], each
+    # shard's S slots device-local over the points axis), so iterative
+    # pipelines skip the per-call point-order permutation gather on
+    # every device. Convert loop-invariant data once with ``to_slots``.
+
+    @property
+    def num_slots(self) -> int:
+        """Global slot-axis length (shard-major: ``s * S_shard``)."""
+        if not self._planned:
+            return int(self.num_points)
+        return self._num_shards * self._shards[0].num_slots
+
+    @property
+    def slot_mask(self) -> jax.Array:
+        """[s*S] float32; 1 where the slot holds a real point."""
+        if not self._planned:
+            return jnp.ones((self.num_points,), jnp.float32)
+        return self._masks.reshape(-1)
+
+    def _check_slot_shape(self, x, what):
+        s = self.num_slots
+        if not (x.ndim == 3 and x.shape[1] == s and x.shape[-1] == 2):
+            raise ValueError(
+                f"{what} expects [B, {s}, 2] shard-major slot-order "
+                f"values, got shape {x.shape}")
+
+    def to_slots(self, values) -> jax.Array:
+        """Point-order planar values [B, M, 2] -> shard-major slot
+        order [B, s*S, 2] (zeros in padded/unused slots); point order
+        must match the constructor's ``points``."""
+        values = jnp.asarray(values)
+        m = int(self.num_points)
+        if not (values.ndim == 3 and values.shape[1] == m
+                and values.shape[-1] == 2):
+            raise ValueError(
+                f"to_slots expects [B, {m}, 2] planar values, got "
+                f"shape {values.shape}")
+        if not self._planned:
+            return values
+        return _sharded_to_slots_call(values, self)
+
+    def from_slots(self, slot_values) -> jax.Array:
+        """Shard-major slot order [B, s*S, 2] -> point order
+        [B, M, 2] (the inverse of ``to_slots``)."""
+        slot_values = jnp.asarray(slot_values)
+        if not self._planned:
+            return slot_values
+        self._check_slot_shape(slot_values, "from_slots")
+        return _sharded_from_slots_call(slot_values, self)
+
+    def _conv_shard_map(self, local_fn, arg):
+        da, pa = self.data_axis, self.points_axis
+        active = tuple(a for a in (da, pa) if a)
+        check = _planned_vma_check()
+        vary = active if check else ()
+        spec = P(da, pa, None)
+        arts_spec = jax.tree.map(
+            lambda x: P(pa, *(None,) * (x.ndim - 1)), self._arts)
+
+        def wrapped(x, arts):
+            x = _vary_over(x, vary)
+            return local_fn(x, self._local_arts(arts, vary))
+
+        fn = jax.shard_map(wrapped, mesh=self.mesh,
+                           in_specs=(spec, arts_spec), out_specs=spec,
+                           check_vma=check)
+        return fn(arg, self._arts)
+
+    def _to_slots(self, values):
+        from tensorflow_nufft_tpu.kernels import binning
+
+        def local_fn(vals, arts):
+            _, binned, _, _, _ = arts
+            b = vals.shape[0]
+            vc = jnp.moveaxis(vals, -1, 1).reshape(2 * b, -1)
+            flat = binning.build_values_payload(
+                vc, binned, self.geom)[:2 * b]
+            s = flat.shape[-1]
+            return jnp.moveaxis(flat.reshape(b, 2, s), 1,
+                                -1).astype(vals.dtype)
+
+        return self._conv_shard_map(local_fn, values)
+
+    def _from_slots(self, slot_values):
+        from tensorflow_nufft_tpu.kernels import binning
+
+        def local_fn(vals, arts):
+            _, binned, _, _, _ = arts
+            b = vals.shape[0]
+            vc = jnp.moveaxis(vals, -1, 1).reshape(2 * b, -1)
+            flat = binning.scatter_chunked(vc.astype(jnp.float32),
+                                           binned)
+            m = flat.shape[-1]
+            return jnp.moveaxis(flat.reshape(b, 2, m), 1,
+                                -1).astype(vals.dtype)
+
+        return self._conv_shard_map(local_fn, slot_values)
+
+    def apply_to_slots(self, source) -> jax.Array:
+        """Type-2 apply producing shard-major SLOT-ORDER values
+        [B, s*S, 2] — no per-call un-permute gather on any device.
+        Differentiable w.r.t. ``source``."""
+        if self.transform_type != "type_2":
+            raise ValueError(
+                "apply_to_slots is the type-2 (grid -> points) apply; "
+                "this plan is type_1 (use adjoint(), or "
+                "apply_from_slots)")
+        source = jnp.asarray(source)
+        rank = len(self.grid_shape)
+        if not (source.ndim == rank + 2
+                and tuple(source.shape[1:-1]) == self.grid_shape
+                and source.shape[-1] == 2):
+            raise ValueError(
+                f"apply_to_slots expects [B, "
+                f"{', '.join(str(g) for g in self.grid_shape)}, 2], "
+                f"got shape {source.shape}")
+        if not self._planned:
+            return self(source)
+        return _sharded_slots_call(source, self)
+
+    def apply_from_slots(self, slot_values) -> jax.Array:
+        """Type-1 apply consuming shard-major SLOT-ORDER values
+        [B, s*S, 2] -> grid [B, *grid, 2] (one psum over the points
+        axis; padded/unused slots masked out). Differentiable."""
+        if self.transform_type != "type_1":
+            raise ValueError(
+                "apply_from_slots is the type-1 (points -> grid) "
+                "apply; this plan is type_2 (use adjoint(), or "
+                "apply_to_slots)")
+        slot_values = jnp.asarray(slot_values)
+        if not self._planned:
+            return self(slot_values)
+        self._check_slot_shape(slot_values, "apply_from_slots")
+        return _sharded_slots_call(slot_values, self)
+
+    def _apply_slots(self, source):
+        from tensorflow_nufft_tpu.fft.planar_fft import (
+            amplify_pad_dft_tiled, dft_truncate_deconvolve_tiled)
+        from tensorflow_nufft_tpu.kernels.pallas_interp import (
+            interp_pallas_tiled)
+        from tensorflow_nufft_tpu.kernels.pallas_spread import (
+            spread_pallas_tiles)
+
+        da, pa = self.data_axis, self.points_axis
+        active = tuple(a for a in (da, pa) if a)
+        rank = len(self.grid_shape)
+        grid_dims = (None,) * (rank + 1)
+        slot_spec = P(da, pa, None)
+        grid_spec = P(da, *grid_dims)
+        arts_spec = jax.tree.map(
+            lambda x: P(pa, *(None,) * (x.ndim - 1)), self._arts)
+        plan, geom = self.plan, self.geom
+        transform_type = self.transform_type
+        check = _planned_vma_check()
+        vary = active if check else ()
+        out_vma = frozenset(active) if check else None
+
+        def local_fn(src, arts, mask):
+            src = _vary_over(src, vary)
+            mask = _vary_over(mask[0], vary)
+            points_resc, binned, mats, coords, band_info = \
+                self._local_arts(arts, vary)
+            b = src.shape[0]
+            keep = mask > 0
+            if transform_type == "type_1":
+                s = src.shape[1]
+                src_cm = jnp.moveaxis(src, -1, 1).reshape(2 * b, s)
+                src_cm = jnp.where(keep[None, :],
+                                   src_cm.astype(jnp.float32), 0.0)
+                tiles, _ = spread_pallas_tiles(
+                    None, points_resc, plan, binned=binned, mats=mats,
+                    coords=coords, values_slots=src_cm, geom=geom,
+                    out_vma=out_vma, band_info=band_info)
+                out = dft_truncate_deconvolve_tiled(tiles, plan, geom, b)
+                if pa:
+                    out = jax.lax.psum(out, pa)
+                return out.astype(src.dtype)
+            tiles = amplify_pad_dft_tiled(src, plan, geom)
+            flat = interp_pallas_tiled(
+                tiles, points_resc, plan, geom, binned=binned,
+                mats=mats, coords=coords, chunk_order=True,
+                out_vma=out_vma, band_info=band_info)
+            flat = jnp.where(keep[None, :], flat, 0.0)
+            s = flat.shape[-1]
+            return jnp.moveaxis(flat.reshape(b, 2, s), 1,
+                                -1).astype(src.dtype)
+
+        in_spec = (grid_spec if transform_type == "type_2"
+                   else slot_spec)
+        out_spec = (slot_spec if transform_type == "type_2"
+                    else grid_spec)
+        fn = jax.shard_map(local_fn, mesh=self.mesh,
+                           in_specs=(in_spec, arts_spec, P(pa, None)),
+                           out_specs=out_spec, check_vma=check)
+        return fn(source, self._arts, self._masks)

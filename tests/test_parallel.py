@@ -364,3 +364,75 @@ def test_sharded_inactive_axis(rng, ):
                         transform_type="type_2", data_axis=None)
     ref = tfft.planar.nufft(src, points, transform_type="type_2")
     assert _relerr(got, ref) <= 1e-5
+
+
+class TestShardedSlots:
+    """Shard-major chunk-slot-order apply surface of
+    ShardedPlannedNufft: round-tripping, equivalence with point-order
+    applies, adjointness, gradients (mirrors tests/test_slots.py for
+    the single-device surface)."""
+
+    OPTS = tfft.Options(backend="pallas")
+
+    def _ops(self, rng, grid=(16, 16), m=64):
+        from tensorflow_nufft_tpu.parallel import ShardedPlannedNufft
+        points = random_points(rng, (m, 2), np.float32)
+        mesh = _mesh((2, 4), ("data", "points"))
+        t2 = ShardedPlannedNufft(points, grid, mesh,
+                                 transform_type="type_2",
+                                 options=self.OPTS)
+        assert t2._planned
+        return t2, t2.adjoint(), points, grid
+
+    def test_round_trip_and_mask(self, rng):
+        t2, t1, points, grid = self._ops(rng)
+        m = points.shape[0]
+        vals = jnp.asarray(rng.standard_normal((4, m, 2)), jnp.float32)
+        slots = t2.to_slots(vals)
+        assert slots.shape == (4, t2.num_slots, 2)
+        back = np.asarray(t2.from_slots(slots))
+        np.testing.assert_allclose(back, np.asarray(vals), atol=0)
+        mask = np.asarray(t2.slot_mask)
+        assert int(mask.sum()) == m
+        np.testing.assert_array_equal(
+            np.asarray(slots)[:, mask == 0, :], 0.0)
+
+    def test_apply_matches_pointorder(self, problem):
+        grid, points, source_t2, strengths = problem
+        from tensorflow_nufft_tpu.parallel import ShardedPlannedNufft
+        mesh = _mesh((2, 4), ("data", "points"))
+        t2 = ShardedPlannedNufft(points, grid, mesh,
+                                 transform_type="type_2",
+                                 options=self.OPTS)
+        t1 = t2.adjoint()
+        got = np.asarray(t2.from_slots(t2.apply_to_slots(source_t2)))
+        ref = np.asarray(t2(source_t2))
+        assert _relerr(got, ref) < 1e-5
+        got1 = np.asarray(t1.apply_from_slots(t1.to_slots(strengths)))
+        ref1 = np.asarray(t1(strengths))
+        assert _relerr(got1, ref1) < 1e-4
+
+    def test_adjoint_pairing(self, rng):
+        t2, t1, points, grid = self._ops(rng)
+        x = jnp.asarray(rng.standard_normal((2,) + grid + (2,)),
+                        jnp.float32)
+        y = t1.to_slots(jnp.asarray(
+            rng.standard_normal((2, points.shape[0], 2)), jnp.float32))
+        lhs = float(jnp.vdot(t2.apply_to_slots(x), y))
+        rhs = float(jnp.vdot(x, t1.apply_from_slots(y)))
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
+
+    def test_gradients(self, rng):
+        t2, t1, points, grid = self._ops(rng)
+        src = jnp.asarray(rng.standard_normal((2,) + grid + (2,)),
+                          jnp.float32)
+        y = t2.apply_to_slots(src) * 0.5
+
+        def loss_slots(x):
+            r = t2.apply_to_slots(x) - y
+            return jnp.sum(r * r)
+
+        g = jax.jit(jax.grad(loss_slots))(src)
+        # d/dx sum((Ax - y)^2) = 2 A^H (Ax - y)
+        ref = 2.0 * t1.apply_from_slots(t2.apply_to_slots(src) - y)
+        assert _relerr(g, ref) < 1e-4
