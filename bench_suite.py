@@ -426,6 +426,15 @@ def _case_registry(quick: bool):
         reg["cg_sense_toeplitz"] = (
             lambda: cg_sense_case(toeplitz=True))
         reg["3d_census_128_800k"] = census_3d_case
+        # Big-M regime (VERDICT r3 item 4): 20M points at 512^2 pushes
+        # the padded slot count past 2^24, exercising the sort-based
+        # int32 binning (binning._ranks_and_starts_bigm) on hardware.
+        # Unplanned (points stay traced args: planned payloads at this
+        # M would ship as oversized MLIR literals through the relay).
+        reg["2d_t1_512_20m_bigm"] = (
+            lambda: nufft_case("2d_t1_512_20m_bigm", (512, 512),
+                               20_000_000, "type_1", None, False,
+                               k2=3))
     return reg
 
 
