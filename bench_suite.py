@@ -502,11 +502,17 @@ def main():
         return
 
     for name in reg:
-        timeout = args.timeout or (4200.0 if name.startswith("3d")
-                                   else 900.0)
+        timeout = args.timeout or (1800.0 if name.startswith("3d")
+                                   else 480.0)
+        # Several short attempts beat one long one: the remote compile
+        # service caches every graph it finishes, so a killed attempt
+        # resumes from cache — only a HUNG compile wastes its timeout.
         res = _run_subprocess(name, timeout)
-        if "error" in res:   # one retry: the compile service flakes
-            log(f"{name}: failed ({res['error'][:80]}), retrying once")
+        for attempt in range(3):
+            if "error" not in res:
+                break
+            log(f"{name}: failed ({res['error'][:80]}), retry "
+                f"{attempt + 1}/3")
             res = _run_subprocess(name, timeout)
         print(json.dumps(res), flush=True)
 
