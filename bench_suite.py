@@ -403,6 +403,10 @@ def _case_registry(quick: bool):
             lambda: nufft_case("3d_t1_128_800k_slots",
                                (128, 128, 128), 800_000, "type_1",
                                None, True, k2=5, slots=True))
+        reg["3d_t2_128_800k_slots"] = (
+            lambda: nufft_case("3d_t2_128_800k_slots",
+                               (128, 128, 128), 800_000, "type_2",
+                               None, True, k2=5, slots=True))
 
         def radial_slots_case():
             from tensorflow_nufft_tpu.models import mri

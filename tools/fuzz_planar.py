@@ -50,6 +50,15 @@ for i in range(N):
                 pts, dims, transform_type=tt, fft_direction=fd, tol=tol,
                 options=tfft.Options(backend="pallas"))
             outs["planned"] = op(to_planar(z))
+            # Slot-order surface: the slot-space apply conjugated back
+            # to point order must match the point-order apply.
+            if op._planned:
+                if tt == "type_2":
+                    outs["slots"] = op.from_slots(
+                        op.apply_to_slots(to_planar(z)))
+                else:
+                    outs["slots"] = op.apply_from_slots(
+                        op.to_slots(to_planar(z)))
         except ValueError as e:
             if "pallas" not in str(e):
                 raise
