@@ -442,6 +442,43 @@ def _case_registry(quick: bool):
     return reg
 
 
+def _compile_service_ok(timeout=240.0) -> bool:
+    """Probes the remote TPU compile service with a FRESH (uncached)
+    tiny graph in a subprocess. False means wedged or down — the child
+    is killed (outages HANG rather than raise, see CLAUDE.md). A
+    random literal salt busts the compile cache so the probe really
+    exercises a compile round-trip."""
+    import random
+    salt = random.random()
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        f"x = jnp.arange(8.0) * {salt!r}\n"
+        f"print(float(jax.jit(lambda v: (v + {salt!r}).sum())(x)))\n")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=timeout, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _await_compile_service(max_wait=7200.0):
+    """Blocks until the compile service answers a fresh probe (up to
+    ``max_wait`` seconds); returns False if it never came back."""
+    t0 = time.time()
+    first = True
+    while time.time() - t0 < max_wait:
+        if _compile_service_ok():
+            if not first:
+                log("compile service back; resuming")
+            return True
+        first = False
+        log(f"compile service unresponsive "
+            f"({time.time() - t0:.0f}s); sleeping 300s")
+        time.sleep(300)
+    return False
+
+
 def _run_subprocess(name: str, timeout: float):
     """Runs one case as `bench_suite.py --case name`, returns its JSON
     result (or an error record on timeout / crash)."""
@@ -508,15 +545,23 @@ def main():
     for name in reg:
         timeout = args.timeout or (1800.0 if name.startswith("3d")
                                    else 480.0)
-        # Several short attempts beat one long one: the remote compile
-        # service caches every graph it finishes, so a killed attempt
-        # resumes from cache — only a HUNG compile wastes its timeout.
+        # Gate on a live compile service (outage = hang, not error);
+        # then several short attempts beat one long one: the service
+        # caches every graph it finishes, so a killed attempt resumes
+        # from cache — only a HUNG compile wastes its timeout.
+        if not _await_compile_service():
+            print(json.dumps({"metric": name,
+                              "error": "compile service down"}),
+                  flush=True)
+            continue
         res = _run_subprocess(name, timeout)
         for attempt in range(3):
             if "error" not in res:
                 break
             log(f"{name}: failed ({res['error'][:80]}), retry "
                 f"{attempt + 1}/3")
+            if not _await_compile_service():
+                break
             res = _run_subprocess(name, timeout)
         print(json.dumps(res), flush=True)
 
