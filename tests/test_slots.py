@@ -175,3 +175,29 @@ def test_unplanned_fallback(rng):
     vals = jnp.asarray(rng.standard_normal((1, 100, 2)), jnp.float32)
     np.testing.assert_array_equal(np.asarray(op.to_slots(vals)),
                                   np.asarray(vals))
+
+
+def test_banded_3d_slots(rng, monkeypatch):
+    """Slot surface through the rank-3 BANDED binned-level kernels
+    (z-ordered binning + fused DFT-A spread epilogue): the 3D headline
+    path the slot bench rows exercise on hardware."""
+    from tensorflow_nufft_tpu.kernels import pallas_spread
+    monkeypatch.setattr(pallas_spread, "MATS_BYTES_BUDGET", 0)
+    grid = (24, 16, 16)
+    m = 3000
+    pts = random_points(rng, (m, 3))
+    opts = tfft.Options(backend="pallas")
+    t2 = tfft.planar.PlannedNufft(pts, grid, transform_type="type_2",
+                                  options=opts)
+    t1 = t2.adjoint()
+    assert t2._level == "binned" and t2.band_info is not None
+    vals = rng.standard_normal((1, m, 2)).astype(np.float32)
+    got = np.asarray(t1.apply_from_slots(t1.to_slots(vals)))
+    ref = np.asarray(t1(vals))
+    np.testing.assert_allclose(got, ref, rtol=1e-4,
+                               atol=1e-4 * np.abs(ref).max())
+    src = rng.standard_normal((1,) + grid + (2,)).astype(np.float32)
+    got2 = np.asarray(t2.from_slots(t2.apply_to_slots(src)))
+    ref2 = np.asarray(t2(src))
+    np.testing.assert_allclose(got2, ref2, rtol=1e-4,
+                               atol=1e-4 * np.abs(ref2).max())
