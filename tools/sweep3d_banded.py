@@ -16,6 +16,12 @@ CONFIGS = [
     ((128, 16, 64), 512, 128),
     ((128, 16, 64), 0, 256),
     ((256, 16, 64), 0, 256),
+    # Round 4: shrink the fold's M = band*E1 from 384 (3 MXU blocks)
+    # to 256 (2 full blocks) via tile_y=8 (E1=16); coarse-z variants
+    # cut tile count (less chunk padding -> smaller values gather).
+    ((128, 8, 64), 512, 128),          # cfg6: M=256, 256 tiles
+    ((256, 8, 64), 512, 128),          # cfg7: M=256, 128 tiles
+    ((256, 16, 64), 512, 128),         # cfg8: M=384 control, 64 tiles
 ]
 
 
@@ -74,8 +80,8 @@ def run_one(idx: int) -> None:
           f"({M / per / 1e6:.1f}M pts/s)", flush=True)
 
 
-def main():
-    for idx in range(len(CONFIGS)):
+def main(only=None):
+    for idx in (only if only is not None else range(len(CONFIGS))):
         print(f"=== cfg {idx}: {CONFIGS[idx]} ===", flush=True)
         try:
             r = subprocess.run(
@@ -88,7 +94,9 @@ def main():
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1:
+    if len(sys.argv) > 2 and sys.argv[1] == "--only":
+        main([int(i) for i in sys.argv[2].split(",")])
+    elif len(sys.argv) > 1:
         run_one(int(sys.argv[1]))
     else:
         main()
