@@ -186,6 +186,55 @@ def main():
     }))
 
 
+def census3d_fields():
+    """3D accuracy gate on hardware (same contract as the 2D census,
+    at 128^3/800k through the banded + Pallas-DFT planned path). Runs
+    `bench_suite.py --case 3d_census_128_800k` in a timeout-bounded
+    subprocess (the f64 CPU reference is cached in build/ after the
+    first run). Returns fields to merge into the headline JSON line;
+    never raises — an outage degrades to census3d_pass=None rather
+    than costing the headline."""
+    deadline_s = int(os.environ.get("BENCH_CENSUS3D_TIMEOUT", "2400"))
+    attempts = int(os.environ.get("BENCH_CENSUS3D_ATTEMPTS", "2"))
+    if os.environ.get("BENCH_SKIP_CENSUS3D"):
+        return {}
+    suite = pathlib.Path(__file__).parent / "bench_suite.py"
+    for attempt in range(1, attempts + 1):
+        try:
+            r = subprocess.run(
+                [sys.executable, str(suite), "--case",
+                 "3d_census_128_800k"],
+                cwd=pathlib.Path(__file__).parent,
+                stdout=subprocess.PIPE, timeout=deadline_s, text=True)
+        except subprocess.TimeoutExpired:
+            log(f"3d census: attempt {attempt}/{attempts} timed out "
+                f"after {deadline_s}s (relay hang?); retrying")
+            continue
+        for ln in (r.stdout or "").splitlines():
+            ln = ln.strip()
+            if ln.startswith("{"):
+                try:
+                    c = json.loads(ln)
+                except json.JSONDecodeError:
+                    continue
+                if "error" in c:
+                    break
+                log(f"3d census: err_impl={c['value']:.3e} "
+                    f"err_total={c['err_total_subset']:.3e} "
+                    f"pass={c['pass']}")
+                return {"census3d_err_impl": c["value"],
+                        "census3d_err_total_subset":
+                            c["err_total_subset"],
+                        "census3d_tol": c["tol"],
+                        "census3d_floor_f32": c.get("floor_f32"),
+                        "census3d_gate_impl": c.get("gate_impl"),
+                        "census3d_pass": c["pass"]}
+        log(f"3d census: attempt {attempt}/{attempts} failed "
+            f"(rc={r.returncode})")
+    log("3d census: unavailable this run")
+    return {"census3d_pass": None}
+
+
 def watchdog():
     """Run the bench in a timeout-bounded child, retrying on hangs.
 
@@ -194,7 +243,8 @@ def watchdog():
     measurement. Retries are cheap: the compile service caches, so a
     second attempt skips straight past any graph the first one got
     through. The child's stderr streams through; its final stdout JSON
-    line is forwarded."""
+    line is forwarded (with the 3D hardware accuracy-census fields
+    merged in)."""
     deadline_s = int(os.environ.get("BENCH_WATCHDOG_TIMEOUT", "1500"))
     attempts = int(os.environ.get("BENCH_WATCHDOG_ATTEMPTS", "3"))
     for attempt in range(1, attempts + 1):
@@ -210,7 +260,9 @@ def watchdog():
         lines = [ln for ln in (r.stdout or "").splitlines()
                  if ln.strip().startswith("{")]
         if r.returncode == 0 and lines:
-            print(lines[-1])
+            rec = json.loads(lines[-1])
+            rec.update(census3d_fields())
+            print(json.dumps(rec))
             return
         log(f"bench watchdog: attempt {attempt}/{attempts} failed "
             f"(rc={r.returncode}); retrying")
