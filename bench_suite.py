@@ -571,8 +571,13 @@ def main():
         return
 
     for name in reg:
-        timeout = args.timeout or (1800.0 if name.startswith("3d")
-                                   else 480.0)
+        # Budgets sized to survive compile-service flaps: an outage
+        # mid-case HANGS the compile (never raises) and resumes when
+        # the service returns, so a budget spanning a flap window lets
+        # the case finish instead of burning a retry (observed round
+        # 4: 480s attempts chronically died across ~10-min flaps).
+        timeout = args.timeout or (2400.0 if name.startswith("3d")
+                                   else 1500.0)
         # Gate on a live compile service (outage = hang, not error);
         # then several short attempts beat one long one: the service
         # caches every graph it finishes, so a killed attempt resumes
