@@ -9,4 +9,7 @@ while kill -0 "$SUITE_PID" 2>/dev/null; do
 done
 echo "=== suite (pid $SUITE_PID) done; starting y8 sweep $(date) ==="
 cd "$(dirname "$0")/.."
-exec python tools/sweep3d_banded.py --only 6,7,8,3
+# cfg7 (256,8,64) is the cost model's winner — run it first so the
+# key datum lands even if the relay dies mid-sweep; cfg3 is the
+# current-default control (also covered by the suite's 3d_t1 row).
+exec python tools/sweep3d_banded.py --only 7,6,8,3
