@@ -29,8 +29,12 @@ def _plan_geom(grid_shape, m, tol=1e-5, direction="forward"):
 
 @pytest.mark.parametrize("batch", [1, 2])
 @pytest.mark.parametrize("direction", ["forward", "backward"])
-def test_pallas_dft_matches_xla(batch, direction):
-    plan, geom = _plan_geom((16, 16, 16), 4000, direction=direction)
+@pytest.mark.parametrize("grid", [(16, 16, 16), (16, 16, 128)])
+def test_pallas_dft_matches_xla(batch, direction, grid):
+    # (16,16,16): n2 unaligned -> blk1=1 squeeze path (the Mosaic
+    # reshape-legality fix for the 3d_t3 inner transform);
+    # (16,16,128): lane-aligned n2 -> merged blk1>1 fast path.
+    plan, geom = _plan_geom(grid, 4000, direction=direction)
     assert pallas_dft.supported(geom, plan.grid_shape), (
         f"geometry unexpectedly unsupported: tile={geom.tile} "
         f"ext={geom.ext}")
@@ -64,10 +68,11 @@ def test_dispatch_serves_pallas_when_supported():
 
 @pytest.mark.parametrize("batch", [1, 2])
 @pytest.mark.parametrize("direction", ["forward", "backward"])
-def test_pallas_amplify_matches_xla(batch, direction):
+@pytest.mark.parametrize("grid", [(16, 16, 16), (16, 16, 128)])
+def test_pallas_amplify_matches_xla(batch, direction, grid):
     from tensorflow_nufft_tpu.fft.planar_fft import (
         amplify_pad_dft_tiled_xla)
-    plan, geom = _plan_geom((16, 16, 16), 4000, direction=direction)
+    plan, geom = _plan_geom(grid, 4000, direction=direction)
     rng = np.random.default_rng(3)
     modes = jnp.asarray(rng.standard_normal(
         (batch,) + plan.grid_shape + (2,)).astype(np.float32))
