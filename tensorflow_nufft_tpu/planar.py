@@ -582,7 +582,14 @@ class PlannedNufft:
         m = int(self.points.shape[0])
         self._slot_mask = (self.binned.invpos < m).astype(jnp.float32)
         self.band_info = None
-        if _planned_zorder(self._level, self.plan.rank):
+        # Banding needs CONCRETE binned coordinates (compute_band_origins
+        # is an eager numpy pass). A plan built during tracing — e.g. the
+        # one-shot type-3 path constructs its inner type-2 on rescaled
+        # (traced) targets under the caller's jit — skips banding;
+        # _ensure_viable then re-plans onto the unbanded geometry.
+        traced = isinstance(jnp.asarray(self.binned.invpos),
+                            jax.core.Tracer)
+        if _planned_zorder(self._level, self.plan.rank) and not traced:
             from tensorflow_nufft_tpu.kernels.pallas_spread import (
                 RANK3_SUB)
             band, zorigins = binning.compute_band_origins(

@@ -411,3 +411,32 @@ def test_planar_type3_max_batch_size_chunking(rng):
     np.testing.assert_allclose(np.asarray(g_chunked),
                                np.asarray(g_whole),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_type3_rank3_traced_construction_pallas(rng, monkeypatch):
+    """One-shot planar type-3 under an OUTER jit builds its inner
+    type-2 plan on traced (rescaled) targets: banding must be skipped
+    (compute_band_origins is an eager numpy pass) and the unbanded
+    re-plan must serve (round-4 hardware regression: the 3d_t3 suite
+    case crashed with TracerArrayConversionError at
+    PlannedNufft._set_artifacts)."""
+    from tensorflow_nufft_tpu.kernels import pallas_spread
+    monkeypatch.setattr(pallas_spread, "MATS_BYTES_BUDGET", 0)
+    m, k = 1500, 1500
+    pts = jnp.asarray(rng.uniform(-np.pi, np.pi, (m, 3)).astype(np.float32))
+    tgt = jnp.asarray(rng.uniform(-16, 16, (k, 3)).astype(np.float32))
+    z = rng.standard_normal((1, m, 2)).astype(np.float32)
+
+    @jax.jit
+    def f(src):
+        return tfft.planar.nufft_type3(
+            src, pts, tgt, tol=1e-4,
+            options=tfft.Options(backend="pallas"))
+
+    out = np.asarray(f(jnp.asarray(z)))[0]
+    zc = z[0, :, 0] + 1j * z[0, :, 1]
+    ref = np.asarray(tfft.nufft_type3(jnp.asarray(zc), pts, tgt,
+                                      tol=1e-4))
+    got = out[..., 0] + 1j * out[..., 1]
+    err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+    assert err < 1e-3, err
