@@ -6,7 +6,8 @@
 cd /root/repo
 set -x
 timeout 240 python -u -c "import jax; print('devices', jax.devices())" || exit 1
-for c in 3d_t1_128_800k 3d_t2_128_800k 3d_t1_128_1m \
+for c in 3d_t3_500k_500k 3d_t3_500k_500k_unplanned \
+         3d_t1_128_800k 3d_t2_128_800k 3d_t1_128_1m \
          3d_t1_128_800k_slots 3d_t2_128_800k_slots 3d_census_128_800k; do
   timeout 4200 python bench_suite.py --case "$c" 2>&1
 done
