@@ -215,20 +215,22 @@ def census3d_fields():
             if ln.startswith("{"):
                 try:
                     c = json.loads(ln)
-                except json.JSONDecodeError:
-                    continue
-                if "error" in c:
-                    break
-                log(f"3d census: err_impl={c['value']:.3e} "
-                    f"err_total={c['err_total_subset']:.3e} "
-                    f"pass={c['pass']}")
-                return {"census3d_err_impl": c["value"],
+                    if "error" in c:
+                        break
+                    fields = {
+                        "census3d_err_impl": c["value"],
                         "census3d_err_total_subset":
                             c["err_total_subset"],
                         "census3d_tol": c["tol"],
                         "census3d_floor_f32": c.get("floor_f32"),
                         "census3d_gate_impl": c.get("gate_impl"),
                         "census3d_pass": c["pass"]}
+                except (json.JSONDecodeError, KeyError, TypeError):
+                    continue
+                log(f"3d census: err_impl={c['value']:.3e} "
+                    f"err_total={c['err_total_subset']:.3e} "
+                    f"pass={c['pass']}")
+                return fields
         log(f"3d census: attempt {attempt}/{attempts} failed "
             f"(rc={r.returncode})")
     log("3d census: unavailable this run")
