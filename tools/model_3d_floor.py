@@ -18,6 +18,14 @@ Model (v5e, one chip):
   - Mode DFT: three contractions over the tile array; FLOP-bound term
     only (the Pallas kernels avoid relayouts).
 
+Measured postscript (v5e round 4, tools/sweep3d_banded.py): the
+model's per-geometry fold term must use the MEASURED band, not a
+fixed 16 — band covers halo (8) + the z-span of a 128-slot sub-chunk,
+and that span scales inversely with points-per-z-cell, so
+band*E1 (= M_rows) is roughly conserved across tile choices:
+(128,16,64)->16*24=384, (128,8,64)->20*16=320, (256,8,64)->24*16=384.
+The default geometry measured fastest (11.76 ms at 128^3/800k).
+
 Usage: python tools/model_3d_floor.py [--tile 256,8,64] [--chunk 512]
 """
 import argparse
