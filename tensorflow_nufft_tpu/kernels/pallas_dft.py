@@ -108,15 +108,13 @@ def _block_plan(geom: TileGeometry, grid_shape):
         if 2 * (bytes_in + bytes_out) <= VMEM_RESIDENT_BUDGET:
             blk_b = d
             break
-    # Pass C merges (blk1, n2) into the minor (lane) axis; Mosaic can
-    # lower that reshape only when n2 is a multiple of the 128 lanes
-    # (observed crash: vector<1x72x8x72> -> vector<72x576> on the
-    # 3d_t3 inner type-2, modes 72^3). Unaligned n2 runs blk1=1, where
-    # the kernels index/squeeze instead of reshaping.
-    blk1_cands = ([b for b in divisors_desc(n1)
-                   if b % 8 == 0 or b == n1]
-                  if n2 % 128 == 0 else [1])
-    for d in blk1_cands:
+    # Pass C merges (blk1, n2) into the minor (lane) axis when n2 is
+    # 128-aligned; otherwise the kernels loop the blk1 sublane slices
+    # (Mosaic can lower neither the merged reshape — observed crash
+    # vector<1x72x8x72> -> vector<72x576> on the 3d_t3 inner type-2,
+    # modes 72^3 — nor a blk1=1 block, whose sublane dim violates the
+    # 8-divisibility rule). blk1 itself stays 8-aligned either way.
+    for d in [b for b in divisors_desc(n1) if b % 8 == 0 or b == n1]:
         bytes_in = 4 * nt[0] * 2 * e[0] * d * n2p
         bytes_out = 2 * 4 * n0 * d * n2p
         if 2 * (bytes_in + bytes_out) <= VMEM_RESIDENT_BUDGET:
@@ -223,24 +221,26 @@ def _gauss_l(dot, c, smc, spc, xr, xi):
 
 def _dual_c_kernel(xr_ref, xi_ref, c_ref, smc_ref, spc_ref, o_ref,
                    *, nt0, e0, n0, blk1, n2):
-    # blk1 == 1 avoids merging (blk1, n2) into the lane axis — a
-    # reshape Mosaic cannot lower when n2 is not 128-aligned
-    # (_block_plan forces blk1=1 exactly then).
-    if blk1 == 1:
-        xr = xr_ref[0, :, 0, :]
-        xi = xi_ref[0, :, 0, :]
-    else:
-        xr = xr_ref[0].reshape(n0, blk1 * n2)
-        xi = xi_ref[0].reshape(n0, blk1 * n2)
+    if n2 % 128:
+        # Unaligned lane dim: merging (blk1, n2) into lanes is a
+        # shuffle Mosaic cannot lower — process the blk1 sublane
+        # slices with a static loop instead.
+        for k in range(blk1):
+            xr = xr_ref[0, :, k, :]
+            xi = xi_ref[0, :, k, :]
+            for t0 in range(nt0):
+                yr, yi = _gauss_l(_dot, c_ref[t0], smc_ref[t0],
+                                  spc_ref[t0], xr, xi)
+                o_ref[t0, 0, :, k, :] = yr
+                o_ref[t0, 1, :, k, :] = yi
+        return
+    xr = xr_ref[0].reshape(n0, blk1 * n2)
+    xi = xi_ref[0].reshape(n0, blk1 * n2)
     for t0 in range(nt0):
         yr, yi = _gauss_l(_dot, c_ref[t0], smc_ref[t0], spc_ref[t0],
                           xr, xi)
-        if blk1 == 1:
-            o_ref[t0, 0] = yr[:, None, :]
-            o_ref[t0, 1] = yi[:, None, :]
-        else:
-            o_ref[t0, 0] = yr.reshape(e0, blk1, n2)
-            o_ref[t0, 1] = yi.reshape(e0, blk1, n2)
+        o_ref[t0, 0] = yr.reshape(e0, blk1, n2)
+        o_ref[t0, 1] = yi.reshape(e0, blk1, n2)
 
 
 def _dual_b_kernel(x_ref, c_ref, smc_ref, spc_ref, o_ref,
@@ -383,28 +383,35 @@ def _pass_b_kernel(x_ref, c_ref, smc_ref, spc_ref, o_ref, stage,
 
 def _pass_c_kernel(x_ref, c_ref, smc_ref, spc_ref, or_ref, oi_ref,
                    *, nt0, e0, n0, blk1, n2):
-    # See _dual_c_kernel: blk1 == 1 indexes/squeezes instead of
-    # merging (blk1, n2) into lanes (illegal for unaligned n2).
+    if n2 % 128:
+        # See _dual_c_kernel: loop the blk1 sublane slices instead of
+        # merging (blk1, n2) into lanes (illegal for unaligned n2).
+        for k in range(blk1):
+            yr = jnp.zeros((n0, n2), jnp.float32)
+            yi = jnp.zeros((n0, n2), jnp.float32)
+            for t0 in range(nt0):
+                xr = x_ref[t0, 0, :, k, :]
+                xi = x_ref[t0, 1, :, k, :]
+                t1_ = _dot(c_ref[t0], xr + xi)
+                t2_ = _dot(smc_ref[t0], xr)
+                t3_ = _dot(spc_ref[t0], xi)
+                yr = yr + (t1_ - t3_)
+                yi = yi + (t1_ + t2_)
+            or_ref[0, :, k, :] = yr
+            oi_ref[0, :, k, :] = yi
+        return
     yr = jnp.zeros((n0, blk1 * n2), jnp.float32)
     yi = jnp.zeros((n0, blk1 * n2), jnp.float32)
     for t0 in range(nt0):
-        if blk1 == 1:
-            xr = x_ref[t0, 0, :, 0, :]
-            xi = x_ref[t0, 1, :, 0, :]
-        else:
-            xr = x_ref[t0, 0].reshape(e0, blk1 * n2)
-            xi = x_ref[t0, 1].reshape(e0, blk1 * n2)
+        xr = x_ref[t0, 0].reshape(e0, blk1 * n2)
+        xi = x_ref[t0, 1].reshape(e0, blk1 * n2)
         t1_ = _dot(c_ref[t0], xr + xi)
         t2_ = _dot(smc_ref[t0], xr)
         t3_ = _dot(spc_ref[t0], xi)
         yr = yr + (t1_ - t3_)
         yi = yi + (t1_ + t2_)
-    if blk1 == 1:
-        or_ref[0] = yr[:, None, :]
-        oi_ref[0] = yi[:, None, :]
-    else:
-        or_ref[0] = yr.reshape(n0, blk1, n2)
-        oi_ref[0] = yi.reshape(n0, blk1, n2)
+    or_ref[0] = yr.reshape(n0, blk1, n2)
+    oi_ref[0] = yi.reshape(n0, blk1, n2)
 
 
 def _vmem_specs(*shapes_and_maps):
