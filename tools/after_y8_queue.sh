@@ -14,5 +14,5 @@ timeout 7300 python tools/chan_group.py 2>&1
 timeout 3600 python tools/probe_bigm.py 2>&1
 # 3D accuracy attribution (item 5); cheap now that the f64 refs and
 # compile cache are warm.
-timeout 7200 python tools/census_bisect.py 2>&1
+true  # census passed at 1.05x the f32 floor - bisect moot
 echo "== QUEUE_R4 DONE =="
