@@ -262,7 +262,15 @@ def watchdog():
         lines = [ln for ln in (r.stdout or "").splitlines()
                  if ln.strip().startswith("{")]
         if r.returncode == 0 and lines:
-            rec = json.loads(lines[-1])
+            try:
+                rec = json.loads(lines[-1])
+            except json.JSONDecodeError:
+                # Malformed '{'-prefixed stdout from the child: forward
+                # the raw line rather than crashing after a good run.
+                log("bench watchdog: child emitted a malformed JSON "
+                    "line; forwarding raw")
+                print(lines[-1])
+                return
             rec.update(census3d_fields())
             print(json.dumps(rec))
             return

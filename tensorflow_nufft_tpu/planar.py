@@ -577,8 +577,12 @@ class PlannedNufft:
         else:
             self.mats = None
             self.coords = jnp.asarray(aux)
-        # Eager (never inside a trace: a lazy first touch under jit
-        # would cache a tracer); [S] f32, trivial to build.
+        # Built here (not lazily on first touch) so plans constructed
+        # eagerly cache a concrete mask. Traced construction IS allowed
+        # (the one-shot type-3 path builds its inner type-2 under the
+        # caller's jit); the cached tracer artifacts are then valid only
+        # within the constructing trace — which is the plan's lifetime
+        # in that mode.
         m = int(self.points.shape[0])
         self._slot_mask = (self.binned.invpos < m).astype(jnp.float32)
         self.band_info = None

@@ -31,9 +31,9 @@ def _plan_geom(grid_shape, m, tol=1e-5, direction="forward"):
 @pytest.mark.parametrize("direction", ["forward", "backward"])
 @pytest.mark.parametrize("grid", [(16, 16, 16), (16, 16, 128)])
 def test_pallas_dft_matches_xla(batch, direction, grid):
-    # (16,16,16): n2 unaligned -> blk1=1 squeeze path (the Mosaic
-    # reshape-legality fix for the 3d_t3 inner transform);
-    # (16,16,128): lane-aligned n2 -> merged blk1>1 fast path.
+    # (16,16,16): n2 unaligned -> per-sublane blk1 loop fallback (the
+    # Mosaic reshape-legality fix for the 3d_t3 inner transform);
+    # (16,16,128): lane-aligned n2 -> merged-lane fast path.
     plan, geom = _plan_geom(grid, 4000, direction=direction)
     assert pallas_dft.supported(geom, plan.grid_shape), (
         f"geometry unexpectedly unsupported: tile={geom.tile} "
