@@ -88,9 +88,111 @@ def marginal_time(make_fn, args, k2=9):
     return per
 
 
+# --- Hardware accuracy gates (VERDICT r4 item 3) --------------------------
+# Every throughput row checks one unperturbed device apply against a
+# cached forced-CPU f32 reference at GATE_MULT * tol before timing (the
+# reference's own harness asserts accuracy in every test,
+# nufft_ops_test.py:812; round 4's 72^3 Mosaic crash showed that
+# hardware-only branches exist which CPU interpret tests cannot reach).
+# References are keyed by TRANSFORM CONFIG (not row name), so e.g. the
+# slot rows share the base row's reference. Generation runs in a
+# forced-CPU subprocess (`--make-case-ref ROW`) and is cached in build/.
+
+CASE_TOL = 1e-6
+GATE_MULT = 10.0
+_REF_MODE = False          # set by --make-case-ref: compute CPU refs
+
+
+def _ref_path(key):
+    import pathlib
+    return (pathlib.Path(__file__).parent / "build"
+            / f"caseref_{key}.npz")
+
+
+def _case_key(grid_shape, num_points, transform_type, batch,
+              shared_points, radial):
+    g = "x".join(str(d) for d in grid_shape)
+    b = f"b{batch}" if batch else "b1"
+    s = "shared" if (shared_points or batch is None) else "perbatch"
+    r = "radial" if radial else "uniform"
+    return f"{g}_{num_points}_{transform_type}_{b}_{s}_{r}"
+
+
+def _write_case_ref(key, src_np, pts_np, transform_type, grid_shape):
+    """Forced-CPU f32 reference via the unplanned planar pipeline with
+    the native (C++/OpenMP) spread/interp engine — a code path disjoint
+    from the TPU Pallas kernels being gated."""
+    import tensorflow_nufft_tpu as tfft
+    from tensorflow_nufft_tpu.options.options import Options
+    kwargs = (dict(grid_shape=grid_shape)
+              if transform_type == "type_1" else {})
+    try:
+        opts = Options(backend="native")
+        ref = np.asarray(tfft.planar.nufft(
+            src_np, pts_np, transform_type=transform_type,
+            tol=CASE_TOL, options=opts, **kwargs))
+    except Exception as e:  # native engine unavailable: default path
+        log(f"native backend failed ({e}); using default CPU path")
+        ref = np.asarray(tfft.planar.nufft(
+            src_np, pts_np, transform_type=transform_type,
+            tol=CASE_TOL, **kwargs))
+    p = _ref_path(key)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(p, ref=ref, scale=float(np.max(np.abs(ref))))
+    log(f"wrote {p}")
+    return {"metric": key, "ref": "written"}
+
+
+def _ensure_case_ref(row_name, key, timeout=3600.0):
+    """Loads the cached CPU reference for ``key``, generating it via a
+    forced-CPU `--make-case-ref row_name` subprocess on first use.
+    Returns None (never raises) when generation fails — the perf row
+    then reports acc_pass=None instead of blocking."""
+    p = _ref_path(key)
+    if not p.exists():
+        log(f"computing CPU reference for {row_name} (key {key}) ...")
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--make-case-ref", row_name],
+                env=env, timeout=timeout,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+        except subprocess.TimeoutExpired:
+            return None
+        if r.returncode != 0 or not p.exists():
+            return None
+    try:
+        return np.load(p)
+    except Exception:
+        return None
+
+
+def _acc_fields(row_name, key, out_np):
+    """err/pass fields for one device output vs the cached CPU
+    reference (max abs err normalized by the reference's own scale)."""
+    data = _ensure_case_ref(row_name, key)
+    if data is None:
+        log(f"{row_name}: no CPU reference available; not gated")
+        return {"acc_pass": None}
+    ref = data["ref"]
+    scale = float(data["scale"]) or 1.0
+    if out_np.shape != ref.shape:
+        log(f"{row_name}: output shape {out_np.shape} != reference "
+            f"{ref.shape}")
+        return {"acc_err": float("inf"), "acc_gate": GATE_MULT * CASE_TOL,
+                "pass": False}
+    err = float(np.max(np.abs(out_np - ref)) / scale)
+    gate = GATE_MULT * CASE_TOL
+    ok = bool(err < gate)
+    log(f"{row_name}: acc_err={err:.3e} (gate < {gate:g}) pass={ok}")
+    return {"acc_err": err, "acc_gate": gate, "pass": ok}
+
+
 def nufft_case(name, grid_shape, num_points, transform_type,
                batch=None, shared_points=True, k2=9, points_arr=None,
-               slots=False):
+               slots=False, check=True):
     import jax
     import jax.numpy as jnp
     import tensorflow_nufft_tpu as tfft
@@ -119,16 +221,30 @@ def nufft_case(name, grid_shape, num_points, transform_type,
         z = (rng.standard_normal(src_batch + grid_shape)
              + 1j * rng.standard_normal(src_batch + grid_shape))
         kwargs = {}
-    src = jnp.asarray(to_planar(z.astype(np.complex64)))
+    key = _case_key(grid_shape, num_points, transform_type, batch,
+                    shared_points, points_arr is not None)
+    src_np = to_planar(z.astype(np.complex64))
+    if _REF_MODE:
+        return _write_case_ref(key, src_np, points, transform_type,
+                               grid_shape)
+    src = jnp.asarray(src_np)
     pts = jnp.asarray(points)
 
     # Shared fixed points: time the planned transform (the repeated-
     # transform regime; falls back internally where unsupported).
+    # Per-batch trajectories: the batched planned op (one planned
+    # transform per trajectory, one vmapped prep — VERDICT r4 item 4;
+    # reference analog: the outer points-batch loop,
+    # cc/kernels/nufft_kernels.cc:491).
     op = None
+    bop = None
     if shared_points:
         op = tfft.planar.PlannedNufft(
             pts, grid_shape, transform_type=transform_type)
         src_b = src if batch is not None else src[None]
+    elif batch is not None:
+        bop = tfft.planar.BatchedPlannedNufft(
+            pts, grid_shape, transform_type=transform_type)
     if slots:
         # Slot-order apply surface (VERDICT r3 item 6): the iterative-
         # pipeline regime where per-point vectors stay in the plan's
@@ -138,9 +254,30 @@ def nufft_case(name, grid_shape, num_points, transform_type,
         if transform_type == "type_1":
             src_b = op.to_slots(src_b)
 
+    acc = {}
+    if check:
+        # One unperturbed apply, gated vs the cached CPU reference.
+        # Slot rows convert back to point/grid order (one extra gather)
+        # so the SAME reference serves slot and point-order rows.
+        def once():
+            if slots and transform_type == "type_1":
+                return op.apply_from_slots(src_b)
+            if slots:
+                return op.from_slots(op.apply_to_slots(src_b))
+            if op is not None:
+                return op(src_b)
+            if bop is not None:
+                return bop(src)
+            return tfft.planar.nufft(
+                src, pts, transform_type=transform_type, **kwargs)
+        out_np = np.asarray(jax.jit(once)())
+        if op is not None and batch is None:
+            out_np = out_np[0]
+        acc = _acc_fields(name, key, out_np)
+
     def make(k):
         def f(p):
-            def body(i, acc):
+            def body(i, acc_):
                 # Nonlinear perturbation + output barrier (see bench.py
                 # and BENCH_NOTES "honest timing").
                 def perturb(x):
@@ -151,12 +288,14 @@ def nufft_case(name, grid_shape, num_points, transform_type,
                     out = op.apply_to_slots(perturb(src_b))
                 elif op is not None:
                     out = op(perturb(src_b))
+                elif bop is not None:
+                    out = bop(perturb(src))
                 else:
                     out = tfft.planar.nufft(
                         perturb(src), p,
                         transform_type=transform_type, **kwargs)
                 out = jax.lax.optimization_barrier(out)
-                return acc + out.ravel()[0]
+                return acc_ + out.ravel()[0]
             return jax.lax.fori_loop(0, k, body, 0.0)
         return f
 
@@ -167,13 +306,29 @@ def nufft_case(name, grid_shape, num_points, transform_type,
         "value": round(total_pts / per, 1),
         "unit": "points/s",
         "ms_per_transform": round(per * 1e3, 3),
-        "planned": bool(op is not None and op._planned),
+        "planned": bool(op is not None and op._planned
+                        or bop is not None and bop._planned),
     }
+    result.update(acc)
     return attach_peak(result, mem_base)
 
 
+def _write_t3_ref(key, src_np, x, t):
+    """Forced-CPU f32 type-3 reference (XLA pipeline — disjoint from
+    the TPU Pallas path being gated)."""
+    import tensorflow_nufft_tpu as tfft
+    ref = np.asarray(tfft.planar.nufft_type3(src_np, x, t,
+                                             tol=CASE_TOL))
+    p = _ref_path(key)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(p, ref=ref, scale=float(np.max(np.abs(ref))))
+    log(f"wrote {p}")
+    return {"metric": key, "ref": "written"}
+
+
 def type3_case(name="2d_t3_200k_200k", rank=2, m=200_000,
-               k_targets=200_000, t_range=64.0, k2=7, planned=True):
+               k_targets=200_000, t_range=64.0, k2=7, planned=True,
+               check=True):
     """Type-3 (nonuniform -> nonuniform): m source points -> k_targets
     target frequencies, planned (Type3Plan) or unplanned (the
     functional nufft_type3, re-planning statics every call inside the
@@ -190,9 +345,22 @@ def type3_case(name="2d_t3_200k_200k", rank=2, m=200_000,
     t = rng.uniform(-t_range, t_range,
                     (k_targets, rank)).astype(np.float32)
     z = (rng.standard_normal(m) + 1j * rng.standard_normal(m))
-    src = jnp.asarray(to_planar(z.astype(np.complex64)))[None]
+    src_np = to_planar(z.astype(np.complex64))[None]
+    key = f"t3_{rank}d_{m}_{k_targets}_{t_range:g}"
+    if _REF_MODE:
+        return _write_t3_ref(key, src_np, x, t)
+    src = jnp.asarray(src_np)
     op = tfft.planar.Type3Plan(x, t)
     xj, tj = jnp.asarray(x), jnp.asarray(t)
+
+    acc = {}
+    if check:
+        # One unperturbed apply vs the cached CPU reference (both the
+        # planned and unplanned rows gate the same transform).
+        fn = (lambda s: op(s)) if planned else (
+            lambda s: tfft.planar.nufft_type3(s, xj, tj))
+        out_np = np.asarray(jax.jit(fn)(src))
+        acc = _acc_fields(name, key, out_np)
 
     def make(k):
         def f(s):
@@ -217,6 +385,7 @@ def type3_case(name="2d_t3_200k_200k", rank=2, m=200_000,
         "planned": planned,
         "planned_spread": op._spread_level if planned else "none",
     }
+    result.update(acc)
     return attach_peak(result, mem_base)
 
 
@@ -348,6 +517,118 @@ def make_census_ref(grid, m, tol, seed):
     log(f"wrote {ref_path}")
 
 
+def bigm_case(name="2d_t1_512_20m_bigm", grid_shape=(512, 512),
+              num_points=20_000_000, k2=3, check=True):
+    """Big-M regime (VERDICT r3 item 4 / r4 item 2): 20M points at
+    512^2 pushes the padded slot count past 2^24, exercising the
+    sort-based int32 binning (binning._ranks_and_starts_bigm) on
+    hardware.
+
+    Compiled as TWO separately-jitted stages with runtime-arg
+    artifacts (VERDICT r4 item 2's restructure): a monolithic
+    unplanned 20M-point graph never survived the flapping remote
+    compile service (6 attempts, round 4), and planned payload
+    literals at this M would blow the compile-body cap. Stage A is
+    the points-side prep (fold + sort-based binning + coords payload);
+    stage B is the apply (values payload + Pallas spread + mode-DFT).
+    Each stage compiles small and is timed marginally with its own
+    perturbation; the row reports the summed per-iteration time —
+    the same work the unplanned monolith does per call."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    import tensorflow_nufft_tpu as tfft
+    from tensorflow_nufft_tpu.planar import to_planar, _planned_prep
+    from tensorflow_nufft_tpu.kernels import binning
+    from tensorflow_nufft_tpu.kernels.pallas_dft import spread_dft_fused
+    from tensorflow_nufft_tpu.plan.plan import PlanSpec, make_plan
+
+    mem_base = peak_bytes()
+    rng = np.random.default_rng(7)
+    rank = len(grid_shape)
+    points = rng.uniform(-np.pi, np.pi,
+                         (num_points, rank)).astype(np.float32)
+    z = (rng.standard_normal(num_points)
+         + 1j * rng.standard_normal(num_points))
+    src_np = to_planar(z.astype(np.complex64))
+    key = _case_key(grid_shape, num_points, "type_1", None, False,
+                    False)
+    if _REF_MODE:
+        return _write_case_ref(key, src_np, points, "type_1",
+                               grid_shape)
+    src = jnp.asarray(src_np)
+    pts = jnp.asarray(points)
+
+    spec = PlanSpec(
+        transform_type="type_1", fft_direction="forward", rank=rank,
+        grid_shape=grid_shape, dtype_name="complex64", tol=CASE_TOL,
+        points_range=0, spread_only=False)
+    plan = make_plan(spec)
+    geom = binning.choose_geometry(plan.fine_shape, plan.width,
+                                   num_points)
+    slots = geom.num_chunks * geom.chunk
+    log(f"bigm: geom tile={geom.tile} chunk={geom.chunk} "
+        f"num_chunks={geom.num_chunks} slots={slots} "
+        f"sort_path={slots > 2 ** 24}")
+
+    stage_a = jax.jit(functools.partial(
+        _planned_prep, plan=plan, geom=geom, level="binned",
+        points_range=0))
+
+    @jax.jit
+    def stage_b(s, arts):
+        pr, binned_arts, coords = arts
+        cm = jnp.moveaxis(s[None], -1, 1).reshape(2, num_points)
+        return spread_dft_fused(
+            cm.astype(jnp.float32), pr, plan, geom, 1,
+            binned=binned_arts, mats=None, coords=coords)
+
+    arts = jax.tree.map(jnp.asarray, stage_a(pts))
+
+    acc = {}
+    if check:
+        out_np = np.asarray(stage_b(src, arts))[0]
+        acc = _acc_fields(name, key, out_np)
+
+    def make_a(k):
+        def f(p):
+            def body(i, acc_):
+                pp = p + 1e-6 * jnp.sin(p * i.astype(jnp.float32))
+                a = stage_a(pp)
+                a = jax.lax.optimization_barrier(a)
+                return acc_ + a[0][0].ravel()[0]
+            return jax.lax.fori_loop(0, k, body, 0.0)
+        return f
+
+    def make_b(k):
+        # src and arts are RUNTIME ARGS (not closures): closed-over
+        # concrete arrays become MLIR literals, and the 20M-point
+        # coords payload (~644 MB) would blow the compile-body cap.
+        def f(s, arts_):
+            def body(i, acc_):
+                sp = s + 1e-3 * jnp.sin(s * i.astype(jnp.float32))
+                out = jax.lax.optimization_barrier(stage_b(sp, arts_))
+                return acc_ + out.ravel()[0]
+            return jax.lax.fori_loop(0, k, body, 0.0)
+        return f
+
+    per_a = marginal_time(make_a, (pts,), k2=k2)
+    per_b = marginal_time(make_b, (src, arts), k2=k2)
+    per = per_a + per_b
+    result = {
+        "metric": name,
+        "value": round(num_points / per, 1),
+        "unit": "points/s",
+        "ms_per_transform": round(per * 1e3, 3),
+        "ms_prep": round(per_a * 1e3, 3),
+        "ms_apply": round(per_b * 1e3, 3),
+        "sort_path": bool(slots > 2 ** 24),
+        "staged_compile": True,
+    }
+    result.update(acc)
+    return attach_peak(result, mem_base)
+
+
 def cg_sense_case(k2=5, toeplitz=False):
     import jax
     import jax.numpy as jnp
@@ -468,12 +749,9 @@ def _case_registry(quick: bool):
         # Big-M regime (VERDICT r3 item 4): 20M points at 512^2 pushes
         # the padded slot count past 2^24, exercising the sort-based
         # int32 binning (binning._ranks_and_starts_bigm) on hardware.
-        # Unplanned (points stay traced args: planned payloads at this
-        # M would ship as oversized MLIR literals through the relay).
-        reg["2d_t1_512_20m_bigm"] = (
-            lambda: nufft_case("2d_t1_512_20m_bigm", (512, 512),
-                               20_000_000, "type_1", None, False,
-                               k2=3))
+        # Two-stage compile (see bigm_case): the monolithic graph
+        # never survived the flapping compile service.
+        reg["2d_t1_512_20m_bigm"] = bigm_case
     return reg
 
 
@@ -551,11 +829,23 @@ def main():
                         metavar=("GRID", "M", "TOL", "SEED"),
                         help="internal: build the 3D census f64 "
                              "references (forced-CPU subprocess)")
+    parser.add_argument("--make-case-ref", default=None, metavar="ROW",
+                        help="internal: build one row's CPU f32 "
+                             "accuracy reference (forced-CPU "
+                             "subprocess; refs are keyed by transform "
+                             "config and cached in build/)")
     args = parser.parse_args()
 
     if args.make_census_ref is not None:
         g, m, tol, seed = args.make_census_ref
         make_census_ref(int(g), int(m), float(tol), int(seed))
+        return
+
+    if args.make_case_ref is not None:
+        global _REF_MODE
+        _REF_MODE = True
+        reg = _case_registry(quick=False)
+        print(json.dumps(reg[args.make_case_ref]()), flush=True)
         return
 
     reg = _case_registry(args.quick)

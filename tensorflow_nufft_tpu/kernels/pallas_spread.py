@@ -471,6 +471,25 @@ def accumulate_spread_at(out_ref, tids, mats_t, data,
         out_ref[tuple(tids) + (b,)] += contrib
 
 
+# Wide-channel payload dispatch: with multiple channel groups, a
+# mats-level plan re-streams the full kernel-matrix payload (sum(ext)
+# rows per chunk — ~144 at the 2D 256^2 geometry) once per group; the
+# coords payload is 8 rows (2*rank hi/lo words, sublane-padded), ~17x
+# smaller, and the in-kernel Horner evaluation it requires costs only
+# ~0.5 ms/group at this geometry. None = auto (prefer coords streaming
+# whenever more than one group would re-stream the mats payload);
+# True/False force the choice (measurement knob, tools/probe_b16_*).
+WIDE_COORDS_STREAMING = None
+
+
+def _prefer_wide_coords(batch2: int, group: int, mats_group: int) -> bool:
+    if WIDE_COORDS_STREAMING is not None:
+        return bool(WIDE_COORDS_STREAMING)
+    if group == 0:
+        return False
+    return -(-batch2 // max(mats_group, group)) > 1
+
+
 # HBM budget for precomputed kernel-matrix payloads (build_kernel_
 # matrix_payload): beyond this, fall back to in-kernel evaluation.
 # Sized for HBM but ALSO bounded by the remote-compile relay: planned
@@ -1111,9 +1130,19 @@ def spread_pallas_tiles(strengths_cm: jax.Array, points_resc,
         # showed dominating the resident kernel's pipelining edge
         # (BENCH_NOTES 'multicoil mats re-streaming: measured').
         gr = resident_group_size(geom)
-        if gr and (group == 0
-                   or -(-batch2 // gr) <= -(-batch2 // group)):
-            group = gr
+        mats_group = (gr if gr and (group == 0 or -(-batch2 // gr)
+                                    <= -(-batch2 // group))
+                      else group)
+        if _prefer_wide_coords(batch2, group, mats_group):
+            # Wide-channel coords streaming (see WIDE_COORDS_STREAMING):
+            # drop to the split coords/values kernels with in-kernel
+            # evaluation — each group then re-streams 8 coordinate rows
+            # per chunk instead of the sum(ext)-row kernel matrices
+            # (the coords payload is built below if the caller's plan
+            # did not carry one).
+            mats = None
+        else:
+            group = mats_group
     if group == 0:
         raise ValueError(
             f"Pallas spread: no channel group fits the VMEM budget for "

@@ -457,7 +457,8 @@ class PlannedNufft:
 
     def __init__(self, points, grid_shape, transform_type="type_2",
                  fft_direction="forward", tol: float = 1e-6,
-                 options: Optional[Options] = None):
+                 options: Optional[Options] = None,
+                 payload_budget_bytes: Optional[int] = None):
         from tensorflow_nufft_tpu.kernels import binning, dispatch
         from tensorflow_nufft_tpu.kernels.xla_ops import (
             fold_and_rescale_split)
@@ -512,10 +513,14 @@ class PlannedNufft:
             # by the resident kernels where the tile array fits and by
             # the per-tile-grid mats-streaming kernels otherwise; falls
             # back to coords streaming when the matrix payload would
-            # exceed its HBM budget.
+            # exceed its HBM budget (callers building MANY plans — the
+            # batched/sharded wrappers — pass a per-plan share of the
+            # budget via ``payload_budget_bytes``).
+            budget = (MATS_BYTES_BUDGET if payload_budget_bytes is None
+                      else payload_budget_bytes)
             self._level = ("mats" if (binning.mats_supported(geom)
                                       and mats_payload_bytes(geom)
-                                      <= MATS_BYTES_BUDGET)
+                                      <= budget)
                            else "binned")
             if self._level == "binned" and rank == 3:
                 # Rank-3 binned level: coarse-axis-0 geometry +
@@ -605,7 +610,8 @@ class PlannedNufft:
     def batch_build(cls, points_stack, grid_shape,
                     transform_type="type_2", fft_direction="forward",
                     tol: float = 1e-6,
-                    options: Optional[Options] = None):
+                    options: Optional[Options] = None,
+                    payload_budget_bytes: Optional[int] = None):
         """Builds one PlannedNufft per leading slice of ``points_stack``
         ([S, M, rank]) with the points-side preprocessing of ALL shards
         traced and executed as ONE vmapped jit — plan-build wall time
@@ -618,12 +624,15 @@ class PlannedNufft:
         s = points_stack.shape[0]
         p0 = cls(points_stack[0], grid_shape,
                  transform_type=transform_type,
-                 fft_direction=fft_direction, tol=tol, options=options)
+                 fft_direction=fft_direction, tol=tol, options=options,
+                 payload_budget_bytes=payload_budget_bytes)
         if s == 1 or not p0._planned:
             rest = [cls(points_stack[i], grid_shape,
                         transform_type=transform_type,
                         fft_direction=fft_direction, tol=tol,
-                        options=options) for i in range(1, s)]
+                        options=options,
+                        payload_budget_bytes=payload_budget_bytes)
+                    for i in range(1, s)]
             return [p0] + rest
         prep = _functools.partial(
             _planned_prep, plan=p0.plan, geom=p0.geom, level=p0._level,
@@ -646,6 +655,13 @@ class PlannedNufft:
         # share one provenance (bitwise identical either way).
         p0._set_artifacts(jax.tree.map(lambda x: x[0], arts_stack))
         return shards
+
+    @classmethod
+    def from_batch(cls, points_batch, grid_shape, **kwargs):
+        """Batched planned transforms over stacked per-batch
+        trajectories ([S, M, rank] -> one planned transform per slice,
+        applied in one call); see ``BatchedPlannedNufft``."""
+        return BatchedPlannedNufft(points_batch, grid_shape, **kwargs)
 
     def adjoint(self) -> "PlannedNufft":
         """The adjoint planned transform (swapped type and direction),
@@ -950,6 +966,155 @@ class PlannedNufft:
                          fft_direction=self.fft_direction, tol=self.tol,
                          options=self.options)
         return _planned_call(source, self)
+
+
+# ---------------------------------------------------------------------------
+# Batched planned transforms: one trajectory per batch element.
+# ---------------------------------------------------------------------------
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _batched_planned_call(source, batched):
+    return batched._apply(source)
+
+
+def _batched_planned_fwd(source, batched):
+    return _batched_planned_call(source, batched), None
+
+
+def _batched_planned_bwd(batched, _, cotangent):
+    # Real transpose == adjoint per trajectory; the adjoint batch
+    # shares every per-trajectory points-side artifact.
+    return (_batched_planned_call(cotangent, batched.adjoint()),)
+
+
+_batched_planned_call.defvjp(_batched_planned_fwd, _batched_planned_bwd)
+
+
+class BatchedPlannedNufft:
+    """Planned planar NUFFT over a STACK of trajectories: points
+    [S, M, rank], one planned transform per leading slice, applied in
+    one jit-compiled call.
+
+    This serves the reference's outer points-batch loop (per-batch
+    trajectories, cc/kernels/nufft_kernels.cc:491 loops ``set_points``
+    + ``execute`` per batch element) at planned speed: the points-side
+    preprocessing of all S trajectories runs as ONE vmapped prep at
+    construction (``PlannedNufft.batch_build``), and each apply runs S
+    planned kernel streams back-to-back — no per-call binning, no
+    payload rebuilds. The per-plan payload level splits the global HBM
+    /compile-literal budget S ways (coords streaming beyond it), so
+    wide stacks stay compilable through the remote-compile relay.
+
+    Apply shapes (planar, one transform per trajectory):
+      type_2: [S, *grid, 2] -> [S, M, 2]
+      type_1: [S, M, 2]     -> [S, *grid, 2]
+    An optional inner batch axis B (transforms sharing trajectory i)
+    is accepted as [S, B, ...] -> [S, B, ...].
+
+    Differentiable w.r.t. ``source`` (adjoint-batch custom VJP);
+    points are fixed by construction. Falls back to the unplanned
+    vmapped pipeline where the Pallas path does not serve the
+    configuration.
+    """
+
+    def __init__(self, points_batch, grid_shape,
+                 transform_type="type_2", fft_direction="forward",
+                 tol: float = 1e-6, options: Optional[Options] = None):
+        from tensorflow_nufft_tpu.kernels.pallas_spread import (
+            MATS_BYTES_BUDGET)
+        points_batch = jnp.asarray(points_batch)
+        if points_batch.ndim != 3:
+            raise ValueError(
+                f"BatchedPlannedNufft takes stacked [S, M, rank] "
+                f"points, got shape {points_batch.shape}")
+        s = int(points_batch.shape[0])
+        self.points_batch = points_batch
+        self.num_batches = s
+        self._shards = PlannedNufft.batch_build(
+            points_batch, grid_shape, transform_type=transform_type,
+            fft_direction=fft_direction, tol=tol, options=options,
+            payload_budget_bytes=max(MATS_BYTES_BUDGET // s, 1))
+        p0 = self._shards[0]
+        self.grid_shape = p0.grid_shape
+        self.transform_type = transform_type
+        self.fft_direction = fft_direction
+        self.tol = p0.tol
+        self.options = p0.options
+        self._planned = all(sh._planned for sh in self._shards)
+        self._adjoint = None
+
+    @property
+    def num_points(self) -> int:
+        return int(self.points_batch.shape[1])
+
+    def adjoint(self) -> "BatchedPlannedNufft":
+        """The adjoint batch (swapped type and direction), sharing all
+        per-trajectory points-side artifacts."""
+        if self._adjoint is None:
+            adj = object.__new__(BatchedPlannedNufft)
+            adj.__dict__.update(self.__dict__)
+            adj.transform_type = ("type_2"
+                                  if self.transform_type == "type_1"
+                                  else "type_1")
+            adj.fft_direction = ("backward"
+                                 if self.fft_direction == "forward"
+                                 else "forward")
+            adj._shards = [sh.adjoint() for sh in self._shards]
+            adj._adjoint = self
+            self._adjoint = adj
+        return self._adjoint
+
+    def _apply(self, source):
+        inner = source.ndim == self._elem_rank() + 2
+        outs = []
+        for i, sh in enumerate(self._shards):
+            src = source[i] if inner else source[i][None]
+            out = sh._apply(src)
+            outs.append(out if inner else out[0])
+        return jnp.stack(outs)
+
+    def _elem_rank(self) -> int:
+        return (2 if self.transform_type == "type_1"
+                else len(self.grid_shape) + 1)
+
+    def __call__(self, source):
+        """Applies the per-trajectory transforms to planar ``source``
+        ([S, *elem] or [S, B, *elem]; see class docstring)."""
+        source = jnp.asarray(source)
+        m = self.num_points
+        er = self._elem_rank()
+        if self.transform_type == "type_1":
+            elem_ok = (source.shape[-2:] == (m, 2)
+                       if source.ndim >= 2 else False)
+            expect = f"[S, (B,) {m}, 2]"
+        else:
+            gs = tuple(self.grid_shape)
+            elem_ok = (source.ndim >= er + 1
+                       and tuple(source.shape[-er:-1]) == gs
+                       and source.shape[-1] == 2)
+            expect = f"[S, (B,) {', '.join(str(g) for g in gs)}, 2]"
+        if (not elem_ok or source.ndim not in (er + 1, er + 2)
+                or source.shape[0] != self.num_batches):
+            raise ValueError(
+                f"batched planned {self.transform_type} expects a "
+                f"source of shape {expect} with S={self.num_batches}; "
+                f"got shape {source.shape}")
+        if not self._planned:
+            # Unplanned fallback: vmap the functional op over the
+            # (source, trajectory) pairs.
+            inner = source.ndim == er + 2
+            src = source if inner else source[:, None]
+            kwargs = (dict(grid_shape=self.grid_shape)
+                      if self.transform_type == "type_1" else {})
+            out = jax.vmap(
+                lambda s, p: nufft(
+                    s, p, transform_type=self.transform_type,
+                    fft_direction=self.fft_direction, tol=self.tol,
+                    options=self.options, **kwargs)
+            )(src, self.points_batch)
+            return out if inner else out[:, 0]
+        return _batched_planned_call(source, self)
 
 
 # ---------------------------------------------------------------------------
