@@ -1358,20 +1358,59 @@ class Type3Plan:
         except RuntimeError:
             on_tpu = False
         from tensorflow_nufft_tpu.kernels import pallas_spread as _ps
+        from tensorflow_nufft_tpu.kernels.pallas_spread import (
+            MATS_BYTES_BUDGET, mats_payload_bytes)
+        # Both stages' planned payloads close over the SAME apply jit
+        # (they ship as MLIR literals through the remote-compile relay),
+        # so the budget is shared. At the 2D bench scale both mats
+        # payloads alone are ~200 MB each — unsplit, the apply graph
+        # draws HTTP 413. Allocation: estimate the inner type-2's own
+        # need first; the outer spread takes mats only if both fit,
+        # with the inner (historically the dominant stage) preferred.
+        # Coords payloads are ~2 orders smaller; a 16 MB margin covers
+        # either stage falling back to them.
+        margin = 16 * 2 ** 20
+        inner_budget = MATS_BYTES_BUDGET
         if (options.backend != "xla"
                 and (on_tpu or options.backend == "pallas")
                 and _ps.supports(self._spread_plan)):
             geom = binning.choose_geometry(
                 self.fine_shape, self._spread_plan.width, self.num_points)
             if binning.geometry_valid(geom):
-                from tensorflow_nufft_tpu.kernels.pallas_spread import (
-                    MATS_BYTES_BUDGET, mats_payload_bytes)
                 self.geom = geom
-                self._spread_level = (
-                    "mats" if (binning.mats_supported(geom)
-                               and mats_payload_bytes(geom)
-                               <= MATS_BYTES_BUDGET)
-                    else "binned")
+                outer_bytes = mats_payload_bytes(geom)
+                from tensorflow_nufft_tpu.plan.plan import make_plan
+                inner_spec = PlanSpec(
+                    transform_type="type_2", fft_direction=fft_direction,
+                    rank=self.rank, grid_shape=self.fine_shape,
+                    dtype_name="complex64", tol=self.tol, points_range=0,
+                    spread_only=False, backend=options.backend)
+                inner_plan = make_plan(inner_spec)
+                inner_geom = binning.choose_geometry(
+                    inner_plan.fine_shape, inner_plan.width,
+                    self.num_targets)
+                inner_need = (
+                    mats_payload_bytes(inner_geom)
+                    if (binning.geometry_valid(inner_geom)
+                        and binning.mats_supported(inner_geom))
+                    else margin)
+                budget = MATS_BYTES_BUDGET
+                outer_ok = binning.mats_supported(geom)
+                inner_fits_alone = inner_need <= budget - margin
+                if (outer_ok and inner_fits_alone
+                        and outer_bytes + inner_need <= budget):
+                    self._spread_level = "mats"    # both stages fit
+                elif (outer_ok and not inner_fits_alone
+                        and outer_bytes + margin <= budget):
+                    # The inner will stream coords whatever we leave
+                    # it; the outer takes the mats.
+                    self._spread_level = "mats"
+                else:
+                    # Leave the budget to the (dominant) inner stage.
+                    self._spread_level = "binned"
+                used = (outer_bytes if self._spread_level == "mats"
+                        else margin)
+                inner_budget = max(budget - used, 1)
         if self._spread_level != "none":
             @jax.jit
             def _prep(pr):
@@ -1391,11 +1430,14 @@ class Type3Plan:
                 self.mats = None
                 self.coords = jnp.asarray(aux)
 
-        # Inner planned type-2 on the fine grid at the rescaled targets.
+        # Inner planned type-2 on the fine grid at the rescaled targets
+        # (its payload level splits the compile-literal budget with the
+        # outer spread's — see above).
         self._inner_t2 = PlannedNufft(
             jnp.asarray(st.theta.astype(np.float32)), self.fine_shape,
             transform_type="type_2", fft_direction=fft_direction,
-            tol=self.tol, options=options)
+            tol=self.tol, options=options,
+            payload_budget_bytes=inner_budget)
         self._adjoint = None
 
     def adjoint(self) -> "Type3Plan":
