@@ -842,6 +842,14 @@ def main():
         return
 
     if args.make_case_ref is not None:
+        # FORCE the CPU backend in-process: the JAX_PLATFORMS env var
+        # alone is overridden by sitecustomize (which registers the
+        # axon TPU backend), and a reference silently computed through
+        # the same TPU pipeline it is meant to gate is vacuous — the
+        # 3d_t3 row once measured acc_err == 0.0 exactly that way.
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        assert jax.default_backend() == "cpu", jax.default_backend()
         global _REF_MODE
         _REF_MODE = True
         reg = _case_registry(quick=False)
