@@ -440,3 +440,53 @@ def test_type3_rank3_traced_construction_pallas(rng, monkeypatch):
     got = out[..., 0] + 1j * out[..., 1]
     err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
     assert err < 1e-3, err
+
+
+class TestTileFriendlySizing:
+    """Round-5: type-3 fine grids round to tile-friendly 5-smooth
+    sizes (the fine grid is matmul-DFT-served, never FFT'd; plain
+    5-smooth sizes like 270 carry no 32/64 divisor and degenerate the
+    inner type-2 geometry — BENCH_NOTES round 5)."""
+
+    def test_next_tile_friendly_values(self):
+        from tensorflow_nufft_tpu.ops.type3 import _next_tile_friendly
+        from tensorflow_nufft_tpu.utils.smooth import (
+            next_smooth_integer)
+        assert _next_tile_friendly(270, 2) == 288
+        assert _next_tile_friendly(288, 2) == 288
+        assert _next_tile_friendly(72, 3) == 72
+        assert _next_tile_friendly(90, 3) == 96
+        for n in (17, 100, 255, 513, 1000):
+            for rank in (1, 2, 3):
+                m = _next_tile_friendly(n, rank)
+                step = 32 if rank <= 2 else 8
+                assert m >= n and m % step == 0
+                assert next_smooth_integer(m) == m, (n, rank, m)
+
+    def test_statics_sizes_are_tile_friendly(self, rng):
+        from tensorflow_nufft_tpu.ops.type3 import compute_type3_statics
+        x = rng.uniform(-np.pi, np.pi, (500, 2))
+        t = rng.uniform(-64.0, 64.0, (500, 2))
+        st = compute_type3_statics(x, t, "forward", 1e-6)
+        assert all(n % 32 == 0 for n in st.fine_shape), st.fine_shape
+
+    def test_planar_plan_budget_split(self, rng):
+        # Both stages' payloads share one compile-literal budget; at
+        # small scale both fit (mats/mats) and the plan must still
+        # match the dense oracle.
+        import jax.numpy as jnp
+        from tensorflow_nufft_tpu.options.options import Options
+        from tensorflow_nufft_tpu.planar import (
+            Type3Plan, nudft_type3, to_planar)
+        x = rng.uniform(-np.pi, np.pi, (800, 2)).astype(np.float32)
+        t = rng.uniform(-32.0, 32.0, (800, 2)).astype(np.float32)
+        z = (rng.standard_normal(800)
+             + 1j * rng.standard_normal(800)).astype(np.complex64)
+        src = jnp.asarray(to_planar(z))[None]
+        op = Type3Plan(x, t, options=Options(backend="pallas"))
+        assert op._spread_level in ("mats", "binned")
+        got = np.asarray(op(src))[0]
+        want = np.asarray(nudft_type3(src[0], jnp.asarray(x),
+                                      jnp.asarray(t)))
+        err = np.abs(got - want).max() / np.abs(want).max()
+        assert err < 1e-3, err
