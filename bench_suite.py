@@ -126,13 +126,26 @@ def _write_case_ref(key, src_np, pts_np, transform_type, grid_shape):
     from tensorflow_nufft_tpu.options.options import Options
     kwargs = (dict(grid_shape=grid_shape)
               if transform_type == "type_1" else {})
+    # The native OpenMP engine can deadlock when invoked from JAX's
+    # CPU-backend callback thread at large fine grids (XLA's spinning
+    # worker threads starve the OpenMP team — observed on the radial
+    # 512^2 and 3D 128^3 type-2 refs, fine arrays >= ~16M elements).
+    # Route those through the XLA scan kernels; BENCH_REF_BACKEND
+    # overrides either way.
+    fine_elems = int(np.prod([2 * g for g in grid_shape]))
+    elem_rank = 2 if transform_type == "type_1" else len(grid_shape) + 1
+    chans = 2 * int(np.prod(src_np.shape[:src_np.ndim - elem_rank],
+                            dtype=np.int64) or 1)
+    big = chans * fine_elems >= (1 << 24)
+    backend = os.environ.get("BENCH_REF_BACKEND",
+                             "xla" if big else "native")
     try:
-        opts = Options(backend="native")
+        opts = Options(backend=backend)
         ref = np.asarray(tfft.planar.nufft(
             src_np, pts_np, transform_type=transform_type,
             tol=CASE_TOL, options=opts, **kwargs))
-    except Exception as e:  # native engine unavailable: default path
-        log(f"native backend failed ({e}); using default CPU path")
+    except Exception as e:  # engine unavailable: default path
+        log(f"{backend} backend failed ({e}); using default CPU path")
         ref = np.asarray(tfft.planar.nufft(
             src_np, pts_np, transform_type=transform_type,
             tol=CASE_TOL, **kwargs))

@@ -471,23 +471,24 @@ def accumulate_spread_at(out_ref, tids, mats_t, data,
         out_ref[tuple(tids) + (b,)] += contrib
 
 
-# Wide-channel payload dispatch: with multiple channel groups, a
+# Wide-channel payload dispatch knob: with multiple channel groups, a
 # mats-level plan re-streams the full kernel-matrix payload (sum(ext)
 # rows per chunk — ~144 at the 2D 256^2 geometry) once per group; the
 # coords payload is 8 rows (2*rank hi/lo words, sublane-padded), ~17x
-# smaller, and the in-kernel Horner evaluation it requires costs only
-# ~0.5 ms/group at this geometry. None = auto (prefer coords streaming
-# whenever more than one group would re-stream the mats payload);
-# True/False force the choice (measurement knob, tools/probe_b16_*).
-WIDE_COORDS_STREAMING = None
+# smaller, at the cost of in-kernel Horner evaluation. Measured on v5e
+# (tools/probe_b16_levers.py) the two are speed-IDENTICAL at the b16
+# 200k scale (the spread kernel is bound elsewhere — see the round-5
+# knockout matrix in BENCH_NOTES), and at the cg_sense scale (32k pts)
+# the in-kernel eval showed up as ~+12% on the recon, so the default
+# stays mats (False). True forces coords streaming (probe knob; also
+# the right manual choice when HBM or compile-literal budget is the
+# constraint rather than time).
+WIDE_COORDS_STREAMING = False
 
 
 def _prefer_wide_coords(batch2: int, group: int, mats_group: int) -> bool:
-    if WIDE_COORDS_STREAMING is not None:
-        return bool(WIDE_COORDS_STREAMING)
-    if group == 0:
-        return False
-    return -(-batch2 // max(mats_group, group)) > 1
+    del batch2, group, mats_group
+    return bool(WIDE_COORDS_STREAMING)
 
 
 # HBM budget for precomputed kernel-matrix payloads (build_kernel_
